@@ -1,0 +1,211 @@
+"""Score wrappers and denoising score-matching (DSM) losses.
+
+Parity targets: ccsd/src/losses.py:18-432.  The torch closures over mutable
+nn.Modules become pure functions of (params, tensors, key), so one
+``jax.grad`` of the summed loss reproduces the reference's separate
+per-model backward passes exactly (each partial loss touches only its own
+model's parameters).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ccsd_tpu.diffusion.sde import SDE, VESDE, _bcast, is_vp_like
+from ccsd_tpu.ops.cells import ComplexSpec
+from ccsd_tpu.ops.masks import (
+    gen_noise,
+    gen_noise_rank2,
+    mask_adjs,
+    mask_rank2,
+    mask_x,
+    node_flags,
+)
+
+
+def get_score_fn(sde: SDE, model, params) -> Callable:
+    """Graph score function (x, adj, flags, t) -> score.
+
+    Parity: ccsd/src/losses.py:18-104.  VP/subVP scale the network output by
+    -1/std(t); VE returns the raw output.
+    """
+    if is_vp_like(sde):
+
+        def score_fn(x, adj, flags, t):
+            out = model.apply(params, x, adj, flags=flags)
+            std = sde.marginal_std(t)
+            return -out / _bcast(std, out)
+
+    elif isinstance(sde, VESDE):
+
+        def score_fn(x, adj, flags, t):
+            return model.apply(params, x, adj, flags=flags)
+
+    else:
+        raise NotImplementedError(f"SDE class {type(sde).__name__} not supported.")
+    return score_fn
+
+
+def get_score_fn_cc(sde: SDE, model, params) -> Callable:
+    """CC score function (x, adj, rank2, flags, t) -> score.
+
+    Parity: ccsd/src/losses.py:107-198.
+    """
+    if is_vp_like(sde):
+
+        def score_fn(x, adj, rank2, flags, t):
+            out = model.apply(params, x, adj, rank2, flags=flags)
+            std = sde.marginal_std(t)
+            return -out / _bcast(std, out)
+
+    elif isinstance(sde, VESDE):
+
+        def score_fn(x, adj, rank2, flags, t):
+            return model.apply(params, x, adj, rank2, flags=flags)
+
+    else:
+        raise NotImplementedError(f"SDE class {type(sde).__name__} not supported.")
+    return score_fn
+
+
+def _reduce(losses: jnp.ndarray, reduce_mean: bool) -> jnp.ndarray:
+    flat = losses.reshape(losses.shape[0], -1)
+    if reduce_mean:
+        return flat.mean(axis=-1)
+    return 0.5 * flat.sum(axis=-1)
+
+
+def get_sde_loss_fn(
+    sde_x: SDE,
+    sde_adj: SDE,
+    model_x,
+    model_adj,
+    reduce_mean: bool = False,
+    likelihood_weighting: bool = False,
+    eps: float = 1e-5,
+):
+    """DSM loss for (X, A).  Parity: ccsd/src/losses.py:201-292.
+
+    Returns ``loss_fn(params_x, params_adj, x, adj, key) -> (loss_x, loss_adj)``.
+    """
+
+    def loss_fn(params_x, params_adj, x, adj, key):
+        score_fn_x = get_score_fn(sde_x, model_x, params_x)
+        score_fn_adj = get_score_fn(sde_adj, model_adj, params_adj)
+
+        k_t, k_zx, k_zadj = jax.random.split(key, 3)
+        t = (
+            jax.random.uniform(k_t, (adj.shape[0],), dtype=adj.dtype)
+            * (sde_adj.T - eps)
+            + eps
+        )
+        flags = node_flags(adj)
+
+        z_x = gen_noise(k_zx, x, flags, sym=False)
+        mean_x, std_x = sde_x.marginal_prob(x, t)
+        perturbed_x = mask_x(mean_x + _bcast(std_x, x) * z_x, flags)
+
+        z_adj = gen_noise(k_zadj, adj, flags, sym=True)
+        mean_adj, std_adj = sde_adj.marginal_prob(adj, t)
+        perturbed_adj = mask_adjs(mean_adj + _bcast(std_adj, adj) * z_adj, flags)
+
+        score_x = score_fn_x(perturbed_x, perturbed_adj, flags, t)
+        score_adj = score_fn_adj(perturbed_x, perturbed_adj, flags, t)
+
+        if not likelihood_weighting:
+            lx = _reduce(jnp.square(score_x * _bcast(std_x, score_x) + z_x), reduce_mean)
+            la = _reduce(
+                jnp.square(score_adj * _bcast(std_adj, score_adj) + z_adj), reduce_mean
+            )
+        else:
+            g2_x = sde_x.sde(jnp.zeros_like(x), t)[1] ** 2
+            lx = _reduce(
+                jnp.square(score_x + z_x / _bcast(std_x, z_x)), reduce_mean
+            ) * g2_x
+            g2_adj = sde_adj.sde(jnp.zeros_like(adj), t)[1] ** 2
+            la = _reduce(
+                jnp.square(score_adj + z_adj / _bcast(std_adj, z_adj)), reduce_mean
+            ) * g2_adj
+
+        return lx.mean(), la.mean()
+
+    return loss_fn
+
+
+def get_sde_loss_fn_cc(
+    sde_x: SDE,
+    sde_adj: SDE,
+    sde_rank2: SDE,
+    model_x,
+    model_adj,
+    model_rank2,
+    spec: ComplexSpec,
+    reduce_mean: bool = False,
+    likelihood_weighting: bool = False,
+    eps: float = 1e-5,
+):
+    """DSM loss for (X, A, F).  Parity: ccsd/src/losses.py:295-432.
+
+    Returns ``loss_fn(params_x, params_adj, params_rank2, x, adj, rank2, key)
+    -> (loss_x, loss_adj, loss_rank2)``.
+    """
+
+    def loss_fn(params_x, params_adj, params_rank2, x, adj, rank2, key):
+        score_fn_x = get_score_fn_cc(sde_x, model_x, params_x)
+        score_fn_adj = get_score_fn_cc(sde_adj, model_adj, params_adj)
+        score_fn_rank2 = get_score_fn_cc(sde_rank2, model_rank2, params_rank2)
+
+        k_t, k_zx, k_zadj, k_zr2 = jax.random.split(key, 4)
+        t = (
+            jax.random.uniform(k_t, (adj.shape[0],), dtype=adj.dtype)
+            * (sde_adj.T - eps)
+            + eps
+        )
+        flags = node_flags(adj)
+
+        z_x = gen_noise(k_zx, x, flags, sym=False)
+        mean_x, std_x = sde_x.marginal_prob(x, t)
+        perturbed_x = mask_x(mean_x + _bcast(std_x, x) * z_x, flags)
+
+        z_adj = gen_noise(k_zadj, adj, flags, sym=True)
+        mean_adj, std_adj = sde_adj.marginal_prob(adj, t)
+        perturbed_adj = mask_adjs(mean_adj + _bcast(std_adj, adj) * z_adj, flags)
+
+        z_rank2 = gen_noise_rank2(k_zr2, rank2, spec, flags)
+        mean_r2, std_r2 = sde_rank2.marginal_prob(rank2, t)
+        perturbed_rank2 = mask_rank2(
+            mean_r2 + _bcast(std_r2, rank2) * z_rank2, spec, flags
+        )
+
+        score_x = score_fn_x(perturbed_x, perturbed_adj, perturbed_rank2, flags, t)
+        score_adj = score_fn_adj(perturbed_x, perturbed_adj, perturbed_rank2, flags, t)
+        score_r2 = score_fn_rank2(perturbed_x, perturbed_adj, perturbed_rank2, flags, t)
+
+        if not likelihood_weighting:
+            lx = _reduce(jnp.square(score_x * _bcast(std_x, score_x) + z_x), reduce_mean)
+            la = _reduce(
+                jnp.square(score_adj * _bcast(std_adj, score_adj) + z_adj), reduce_mean
+            )
+            lr = _reduce(
+                jnp.square(score_r2 * _bcast(std_r2, score_r2) + z_rank2), reduce_mean
+            )
+        else:
+            g2_x = sde_x.sde(jnp.zeros_like(x), t)[1] ** 2
+            lx = _reduce(
+                jnp.square(score_x + z_x / _bcast(std_x, z_x)), reduce_mean
+            ) * g2_x
+            g2_adj = sde_adj.sde(jnp.zeros_like(adj), t)[1] ** 2
+            la = _reduce(
+                jnp.square(score_adj + z_adj / _bcast(std_adj, z_adj)), reduce_mean
+            ) * g2_adj
+            g2_r2 = sde_rank2.sde(jnp.zeros_like(rank2), t)[1] ** 2
+            lr = _reduce(
+                jnp.square(score_r2 + z_rank2 / _bcast(std_r2, z_rank2)), reduce_mean
+            ) * g2_r2
+
+        return lx.mean(), la.mean(), lr.mean()
+
+    return loss_fn

@@ -1,0 +1,93 @@
+"""Score network for the rank-2 incidence tensor F.
+
+Parity target: ccsd/src/models/ScoreNetwork_F.py:24-217.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ccsd_tpu.models.hodge_nn import HodgeNetworkLayer
+from ccsd_tpu.models.nn import MLP
+from ccsd_tpu.ops.cells import get_spec
+from ccsd_tpu.ops.hodge import default_mask, pow_tensor_cc
+from ccsd_tpu.ops.masks import mask_rank2
+
+
+@dataclass(frozen=True)
+class ScoreNetworkF:
+    num_layers_mlp: int
+    num_layers: int
+    num_linears: int
+    nhid: int
+    c_hid: int
+    c_final: int
+    cnum: int
+    max_node_num: int
+    d_min: int
+    d_max: int
+    use_hodge_mask: bool = True
+    use_bn: bool = False
+    is_cc: bool = True
+
+    @property
+    def spec(self):
+        return get_spec(self.max_node_num, self.d_min, self.d_max)
+
+    @property
+    def layers(self) -> list[HodgeNetworkLayer]:
+        out = []
+        for k in range(self.num_layers):
+            cin = self.cnum if k == 0 else self.c_hid
+            cout = self.c_final if k == self.num_layers - 1 else self.c_hid
+            out.append(
+                HodgeNetworkLayer(self.num_linears, cin, self.nhid, cout,
+                                  self.spec, self.use_bn)
+            )
+        return out
+
+    @property
+    def fdim(self) -> int:
+        return self.c_hid * (self.num_layers - 1) + self.c_final + self.cnum
+
+    @property
+    def final(self) -> MLP:
+        return MLP(self.num_layers_mlp, self.fdim, 2 * self.fdim, 1,
+                   use_bn=self.use_bn, act="elu")
+
+    def init(self, key: jax.Array) -> dict:
+        keys = jax.random.split(key, self.num_layers + 1)
+        return {
+            "layers": [l.init(k) for l, k in zip(self.layers, keys[:-1])],
+            "final": self.final.init(keys[-1]),
+        }
+
+    def apply(
+        self,
+        params: dict,
+        x: jnp.ndarray,
+        adj: jnp.ndarray,
+        rank2: jnp.ndarray,
+        flags: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        del x, adj  # F-score depends on the rank-2 tensor only
+        hodge_mask = (
+            default_mask(self.spec.num_edges) if self.use_hodge_mask else None
+        )
+        rank2c = pow_tensor_cc(rank2, self.cnum, hodge_mask)
+
+        rank2_list = [rank2c]
+        h = rank2c
+        for layer, p in zip(self.layers, params["layers"]):
+            h = layer.apply(p, h, flags)
+            rank2_list.append(h)
+
+        feats = jnp.moveaxis(jnp.concatenate(rank2_list, axis=1), 1, -1)
+        score = self.final.apply(params["final"], feats)[..., 0]
+        # reference multiplies by an all-ones (rows, cols) mask here — a no-op
+        # (ScoreNetwork_F.py:142, 211-212)
+        return mask_rank2(score, self.spec, flags)
