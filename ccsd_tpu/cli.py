@@ -1,0 +1,46 @@
+"""Command-line entry point.
+
+Parity target: main.py:33-106 + ccsd/src/parsers/parser.py:14-71.
+Usage:  python -m ccsd_tpu.cli --type train --config community_small [--seed 42]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ccsd_tpu",
+        description="TPU-native score-based diffusion for graphs and "
+        "rank-2 combinatorial complexes",
+    )
+    p.add_argument("--type", type=str, required=True,
+                   choices=["train", "sample"], help="experiment type")
+    p.add_argument("--config", type=str, required=True,
+                   help="config name (config/<name>.yaml)")
+    p.add_argument("--folder", type=str, default="./",
+                   help="root folder for config/data/checkpoints")
+    p.add_argument("--comment", type=str, default="", help="run comment")
+    p.add_argument("--seed", type=int, default=42, help="random seed")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    from ccsd_tpu.experiment import run_experiment
+
+    run_experiment(
+        experiment_type=args.type,
+        config_name=args.config,
+        folder=args.folder,
+        comment=args.comment,
+        seed=args.seed,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""Molecular dataset loading (QM9 / ZINC250k kekulized npz).
+
+Parity target: ccsd/src/utils/data_loader_mol.py:31-546.  The reference
+applies a per-item torch transform inside the DataLoader; here the
+transforms are vectorized numpy over the whole split, computed once and
+cached as arrays (the rank-2 ring lift still visits molecules individually,
+on the host, and is cached to disk like the reference's pickles).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Tuple
+
+import networkx as nx
+import numpy as np
+
+from ccsd_tpu.data.cc_codec import cc_from_incidence, create_incidence_1_2
+from ccsd_tpu.data.loader import ArrayDataset, load_dataset, save_dataset
+from ccsd_tpu.data.mol_utils import QM9_ATOMIC_NUM_LIST, ZINC250K_ATOMIC_NUM_LIST
+
+
+def load_mol(filepath: str) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Load (x, adj) pairs from a kekulized npz.  (data_loader_mol.py:31-69)"""
+    if not os.path.exists(filepath):
+        raise ValueError(f"Invalid filepath {filepath} for dataset")
+    load_data = np.load(filepath, allow_pickle=True)
+    result = []
+    i = 0
+    while True:
+        key = f"arr_{i}"
+        if key in load_data.keys():
+            result.append(load_data[key])
+            i += 1
+        else:
+            break
+    return list(map(lambda x, a: (x, a), result[0], result[1]))
+
+
+def _transform_graph(x: np.ndarray, adj: np.ndarray, dataset: str):
+    """One molecule -> (one-hot x without virtual class, bond-order adj).
+
+    Parity: data_loader_mol.py:133-186 / 244-271.
+    """
+    if dataset == "QM9":
+        n, alist = 9, QM9_ATOMIC_NUM_LIST
+        indices = np.where(x >= 6, x - 6, 4)
+        x_ = np.zeros((n, len(alist)), np.float32)
+        x_[np.arange(n), indices] = 1.0
+    else:
+        n, alist = 38, ZINC250K_ATOMIC_NUM_LIST
+        x_ = np.zeros((n, len(alist)), np.float32)
+        for i in range(n):
+            x_[i, alist.index(x[i])] = 1.0
+    adj_ = np.concatenate(
+        [adj[:3], 1 - np.sum(adj[:3], axis=0, keepdims=True)], axis=0
+    ).astype(np.float32)
+    x_ = x_[:, :-1]
+    a = adj_.argmax(axis=0)
+    a = np.where(a == 3, 0, a + 1).astype(np.float32)
+    return x_, a
+
+
+def _mol_rings_from_x_adj(x: np.ndarray, adj: np.ndarray, dataset: str):
+    """Ring set of the decoded molecule; RDKit SSSR when available,
+    otherwise an nx minimum-cycle-basis fallback."""
+    try:
+        from rdkit import Chem
+
+        from ccsd_tpu.data.cc_codec import DIC_MOL_CONV
+        from ccsd_tpu.data.mol_utils import _bond_decoder
+
+        bond_decoder = _bond_decoder()
+        mol = Chem.RWMol()
+        for i in range(x.shape[0]):
+            if x[i].any():
+                mol.AddAtom(Chem.Atom(DIC_MOL_CONV[int(np.argmax(x[i]))]))
+        for i in range(adj.shape[0]):
+            for j in range(i + 1, adj.shape[1]):
+                if adj[i, j]:
+                    mol.AddBond(i, j, bond_decoder[float(adj[i, j])])
+        mol = mol.GetMol()
+        Chem.GetSymmSSSR(mol)
+        return [frozenset(r) for r in mol.GetRingInfo().AtomRings()]
+    except ImportError:
+        G = nx.from_numpy_array(adj)
+        G.remove_edges_from(nx.selfloop_edges(G))
+        return [frozenset(c) for c in nx.minimum_cycle_basis(G)]
+
+
+def _split_indices(config, n: int):
+    with open(
+        os.path.join(config.get("folder", "./"), config.data.dir,
+                     f"valid_idx_{str(config.data.data).lower()}.json")
+    ) as f:
+        test_idx = json.load(f)
+    if str(config.data.data) == "QM9":
+        test_idx = [int(i) for i in test_idx["valid_idxs"]]
+    test_set = set(test_idx)
+    train_idx = [i for i in range(n) if i not in test_set]
+    return train_idx, sorted(test_set)
+
+
+def _load_split_mols(config):
+    mols = load_mol(
+        os.path.join(config.get("folder", "./"), config.data.dir,
+                     f"{str(config.data.data).lower()}_kekulized.npz")
+    )
+    train_idx, test_idx = _split_indices(config, len(mols))
+    return [mols[i] for i in train_idx], [mols[i] for i in test_idx]
+
+
+def dataloader_mol(config, get_graph_list: bool = False, seed: int = 0):
+    """Graph-mode molecular loader.  (data_loader_mol.py:331-422)"""
+    dataset = str(config.data.data)
+    data_dir = os.path.join(config.get("folder", "./"), config.data.dir)
+    cache = f"{dataset}_graphs_{get_graph_list}"
+    if os.path.exists(os.path.join(data_dir, f"{cache}_train.pkl")):
+        train = load_dataset(data_dir, f"{cache}_train")
+        test = load_dataset(data_dir, f"{cache}_test")
+        if get_graph_list:
+            return train, test
+        return (
+            ArrayDataset(train, config.data.batch_size, seed=seed),
+            ArrayDataset(test, config.data.batch_size, seed=seed),
+        )
+    train_mols, test_mols = _load_split_mols(config)
+
+    def to_arrays(mols):
+        xs, adjs = [], []
+        for x, adj in mols:
+            x_, a = _transform_graph(x, adj, dataset)
+            xs.append(x_)
+            adjs.append(a)
+        return np.asarray(xs), np.asarray(adjs)
+
+    if get_graph_list:
+        def to_graphs(mols):
+            out = []
+            for x, adj in mols:
+                _, a = _transform_graph(x, adj, dataset)
+                out.append(nx.from_numpy_array(a))
+            return out
+
+        train_g, test_g = to_graphs(train_mols), to_graphs(test_mols)
+        save_dataset(data_dir, train_g, f"{cache}_train", save_txt=False)
+        save_dataset(data_dir, test_g, f"{cache}_test", save_txt=False)
+        return train_g, test_g
+
+    return (
+        ArrayDataset(to_arrays(train_mols), config.data.batch_size, seed=seed),
+        ArrayDataset(to_arrays(test_mols), config.data.batch_size, seed=seed),
+    )
+
+
+def dataloader_mol_cc(config, get_cc_list: bool = False, seed: int = 0):
+    """CC-mode molecular loader with ring lifting.  (data_loader_mol.py:425-546)"""
+    dataset = str(config.data.data)
+    data_dir = os.path.join(config.get("folder", "./"), config.data.dir)
+    cache = f"{dataset}_cc_{get_cc_list}"
+    d_min, d_max = config.data.d_min, config.data.d_max
+    if os.path.exists(os.path.join(data_dir, f"{cache}_train.pkl")):
+        train = load_dataset(data_dir, f"{cache}_train")
+        test = load_dataset(data_dir, f"{cache}_test")
+        if get_cc_list:
+            return train, test
+        return (
+            ArrayDataset(train, config.data.batch_size, seed=seed),
+            ArrayDataset(test, config.data.batch_size, seed=seed),
+        )
+    train_mols, test_mols = _load_split_mols(config)
+
+    def to_items(mols):
+        xs, adjs, rank2s = [], [], []
+        for x, adj in mols:
+            x_, a = _transform_graph(x, adj, dataset)
+            rings = {r: {} for r in _mol_rings_from_x_adj(x_, a, dataset)}
+            r2 = create_incidence_1_2(x_.shape[0], a, d_min, d_max, rings)
+            xs.append(x_)
+            adjs.append(a)
+            rank2s.append(r2)
+        return np.asarray(xs), np.asarray(adjs), np.asarray(rank2s)
+
+    if get_cc_list:
+        def to_ccs(mols):
+            out = []
+            for x, adj in mols:
+                x_, a = _transform_graph(x, adj, dataset)
+                rings = {r: {} for r in _mol_rings_from_x_adj(x_, a, dataset)}
+                r2 = create_incidence_1_2(x_.shape[0], a, d_min, d_max, rings)
+                out.append(cc_from_incidence([x_, a, r2], d_min, d_max,
+                                             is_molecule=True))
+            return out
+
+        train_cc, test_cc = to_ccs(train_mols), to_ccs(test_mols)
+        save_dataset(data_dir, train_cc, f"{cache}_train", save_txt=False)
+        save_dataset(data_dir, test_cc, f"{cache}_test", save_txt=False)
+        return train_cc, test_cc
+
+    return (
+        ArrayDataset(to_items(train_mols), config.data.batch_size, seed=seed),
+        ArrayDataset(to_items(test_mols), config.data.batch_size, seed=seed),
+    )

@@ -1,0 +1,212 @@
+"""Molecule utilities (RDKit bridge) — valency repair, SMILES IO.
+
+Parity target: ccsd/src/utils/mol_utils.py:24-362.  RDKit is imported
+lazily inside functions; `has_rdkit()` gates the molecular pipelines in
+environments without it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import List, Optional, Tuple, Union
+
+import networkx as nx
+import numpy as np
+
+ATOM_VALENCY = {6: 4, 7: 3, 8: 2, 9: 1, 15: 3, 16: 2, 17: 1, 35: 1, 53: 1}
+AN_TO_SYMBOL = {6: "C", 7: "N", 8: "O", 9: "F", 15: "P", 16: "S", 17: "Cl",
+                35: "Br", 53: "I"}
+SYMBOL_TO_AN = {v: k for k, v in AN_TO_SYMBOL.items()}
+
+QM9_ATOMIC_NUM_LIST = [6, 7, 8, 9, 0]
+ZINC250K_ATOMIC_NUM_LIST = [6, 7, 8, 9, 15, 16, 17, 35, 53, 0]
+
+
+def has_rdkit() -> bool:
+    try:
+        import rdkit  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _bond_decoder():
+    from rdkit import Chem
+
+    B = Chem.rdchem.BondType
+    return {
+        0: B.ZERO, 0.0: B.ZERO, 1: B.SINGLE, 1.0: B.SINGLE, 1.5: B.AROMATIC,
+        2: B.DOUBLE, 2.0: B.DOUBLE, 2.5: B.TWOANDAHALF, 3: B.TRIPLE,
+        3.0: B.TRIPLE, 3.5: B.THREEANDAHALF, 4: B.QUADRUPLE,
+        4.0: B.QUADRUPLE, 4.5: B.FOURANDAHALF, 5: B.QUINTUPLE,
+        5.0: B.QUINTUPLE, 5.5: B.FIVEANDAHALF,
+    }
+
+
+def is_molecular_config(config) -> bool:
+    return str(config.data.data) in ("QM9", "ZINC250k")
+
+
+def mols_to_smiles(mols) -> List[str]:
+    from rdkit import Chem
+
+    return [Chem.MolToSmiles(mol) for mol in mols]
+
+
+def smiles_to_mols(smiles: List[str]):
+    from rdkit import Chem
+
+    return [Chem.MolFromSmiles(s) for s in smiles]
+
+
+def canonicalize_smiles(smiles: List[str]) -> List[str]:
+    from rdkit import Chem
+
+    return [Chem.MolToSmiles(Chem.MolFromSmiles(s)) for s in smiles]
+
+
+def load_smiles(dataset: str = "QM9", folder: str = "./"):
+    """Train/test SMILES from the csv + valid_idx json.  (mol_utils.py:108-141)"""
+    import pandas as pd
+
+    col = {"QM9": "SMILES1", "ZINC250k": "smiles"}.get(dataset)
+    if col is None:
+        raise ValueError(f"Wrong dataset name {dataset} in load_smiles")
+    df = pd.read_csv(os.path.join(folder, "data", f"{dataset.lower()}.csv"))
+    with open(os.path.join(folder, "data", f"valid_idx_{dataset.lower()}.json")) as f:
+        test_idx = json.load(f)
+    if dataset == "QM9":
+        test_idx = [int(i) for i in test_idx["valid_idxs"]]
+    test_set = set(test_idx)
+    train_idx = [i for i in range(len(df)) if i not in test_set]
+    return list(df[col].loc[train_idx]), list(df[col].loc[test_idx])
+
+
+def check_valency(mol) -> Tuple[bool, Optional[List[int]]]:
+    """Sanitize-properties check returning the offending (atom, valence)."""
+    import rdkit
+    from rdkit import Chem
+
+    try:
+        result = Chem.SanitizeMol(
+            mol, sanitizeOps=Chem.SanitizeFlags.SANITIZE_PROPERTIES
+        )
+        if result != rdkit.Chem.rdmolops.SanitizeFlags.SANITIZE_NONE:
+            return False, []
+        return True, None
+    except ValueError as e:
+        e = str(e)
+        p = e.find("#")
+        atomid_valence = list(map(int, re.findall(r"\d+", e[p:])))
+        return False, atomid_valence
+
+
+def construct_mol(x: np.ndarray, adj: np.ndarray, atomic_num_list: List[int]):
+    """Dense one-hot (x, adj) -> RWMol with formal-charge fixes.
+
+    Parity: mol_utils.py:144-188.
+    """
+    from rdkit import Chem
+
+    bond_decoder = _bond_decoder()
+    mol = Chem.RWMol()
+    atoms = np.argmax(x, axis=1)
+    atoms_exist = atoms != len(atomic_num_list) - 1
+    for atom in atoms[atoms_exist]:
+        mol.AddAtom(Chem.Atom(int(atomic_num_list[atom])))
+    adj = np.argmax(adj, axis=0)
+    adj = adj[atoms_exist, :][:, atoms_exist]
+    adj = np.where(adj == 3, -1, adj) + 1
+    for start, end in zip(*np.nonzero(adj)):
+        if start > end:
+            mol.AddBond(int(start), int(end), bond_decoder[adj[start, end]])
+            flag, atomid_valence = check_valency(mol)
+            if flag:
+                continue
+            assert len(atomid_valence) == 2
+            idx, v = atomid_valence
+            an = mol.GetAtomWithIdx(idx).GetAtomicNum()
+            if an in (7, 8, 16) and (v - ATOM_VALENCY[an]) == 1:
+                mol.GetAtomWithIdx(idx).SetFormalCharge(1)
+    return mol
+
+
+def correct_mol(mol) -> Tuple[object, bool]:
+    """Iterative valency repair (drop/downgrade highest bonds).
+
+    Parity: mol_utils.py:256-300.  Inherently sequential host code — kept
+    off the device on purpose.
+    """
+    bond_decoder = _bond_decoder()
+    no_correct = check_valency(mol)[0]
+    while True:
+        flag, atomid_valence = check_valency(mol)
+        if flag:
+            break
+        assert len(atomid_valence) == 2
+        idx = atomid_valence[0]
+        queue = [
+            (b.GetIdx(), int(b.GetBondType()), b.GetBeginAtomIdx(), b.GetEndAtomIdx())
+            for b in mol.GetAtomWithIdx(idx).GetBonds()
+        ]
+        queue.sort(key=lambda tup: tup[1], reverse=True)
+        if queue:
+            start, end, t = queue[0][2], queue[0][3], queue[0][1] - 1
+            mol.RemoveBond(start, end)
+            if t >= 1:
+                mol.AddBond(start, end, bond_decoder[t])
+    return mol, no_correct
+
+
+def valid_mol_can_with_seg(m, largest_connected_comp: bool = True):
+    """Canonical validity + largest fragment.  (mol_utils.py:303-326)"""
+    from rdkit import Chem
+
+    if m is None:
+        return None
+    sm = Chem.MolToSmiles(m, isomericSmiles=True)
+    if largest_connected_comp and "." in sm:
+        vsm = sorted(((s, len(s)) for s in sm.split(".")),
+                     key=lambda t: t[1], reverse=True)
+        return Chem.MolFromSmiles(vsm[0][0])
+    return Chem.MolFromSmiles(sm)
+
+
+def gen_mol(x, adj, dataset: str, largest_connected_comp: bool = True):
+    """Model output -> valid molecules + no-correction count.
+
+    Parity: mol_utils.py:191-229 signature/semantics (jnp/np inputs).
+    """
+    x = np.asarray(x)
+    adj = np.asarray(adj)
+    atomic_num_list = (
+        QM9_ATOMIC_NUM_LIST if dataset == "QM9" else ZINC250K_ATOMIC_NUM_LIST
+    )
+    mols, num_no_correct = [], 0
+    for x_elem, adj_elem in zip(x, adj):
+        mol = construct_mol(x_elem, adj_elem, atomic_num_list)
+        cmol, no_correct = correct_mol(mol)
+        if no_correct:
+            num_no_correct += 1
+        vcmol = valid_mol_can_with_seg(
+            cmol, largest_connected_comp=largest_connected_comp
+        )
+        mols.append(vcmol)
+    return [m for m in mols if m is not None], num_no_correct
+
+
+def mols_to_nx(mols) -> List[nx.Graph]:
+    """Molecules -> labeled nx graphs.  (mol_utils.py:329-362)"""
+    out = []
+    for mol in mols:
+        G = nx.Graph()
+        for atom in mol.GetAtoms():
+            G.add_node(atom.GetIdx(), label=atom.GetSymbol())
+        for bond in mol.GetBonds():
+            G.add_edge(bond.GetBeginAtomIdx(), bond.GetEndAtomIdx(),
+                       label=int(bond.GetBondTypeAsDouble()))
+        out.append(G)
+    return out

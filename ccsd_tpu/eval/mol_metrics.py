@@ -1,0 +1,82 @@
+"""Molecule generation metrics: validity, uniqueness, novelty, FCD, NSPDK.
+
+The reference calls MOSES `get_all_metrics` (sampler.py:850-857); MOSES is
+not available here, so the core metrics are implemented natively on RDKit
+primitives with the same definitions:
+
+  * validity           — fraction of generated molecules RDKit can sanitize
+                         (gen_mol already filters; validity w/o correction is
+                         tracked separately via num_no_correct);
+  * unique@k           — fraction of unique canonical SMILES among first k;
+  * novelty            — fraction of unique valid SMILES not in train set;
+  * FCD                — requires the pretrained ChemNet weights of the `fcd`
+                         package; gated (returns None when unavailable);
+  * NSPDK MMD          — via ccsd_tpu.eval.mmd.compute_nspdk_mmd.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+
+def canonical_smiles(mols) -> List[str]:
+    from rdkit import Chem
+
+    out = []
+    for m in mols:
+        if m is None:
+            continue
+        s = Chem.MolToSmiles(m)
+        if s:
+            out.append(s)
+    return out
+
+
+def fraction_valid(mols, n_generated: int) -> float:
+    return len([m for m in mols if m is not None]) / max(1, n_generated)
+
+
+def fraction_unique(smiles: Sequence[str], k: Optional[int] = None) -> float:
+    s = list(smiles)
+    if k is not None:
+        s = s[:k]
+    return len(set(s)) / max(1, len(s))
+
+
+def novelty(smiles: Sequence[str], train_smiles: Sequence[str]) -> float:
+    gen = set(smiles)
+    train = set(train_smiles)
+    if not gen:
+        return 0.0
+    return len(gen - train) / len(gen)
+
+
+def fcd_score(smiles: Sequence[str], ref_smiles: Sequence[str]) -> Optional[float]:
+    try:
+        import fcd  # noqa: F401
+    except ImportError:
+        return None
+    return float(fcd.get_fcd(list(smiles), list(ref_smiles)))
+
+
+def get_all_metrics(
+    gen_mols,
+    n_generated: int,
+    train_smiles: Sequence[str],
+    test_smiles: Sequence[str],
+    num_no_correct: int = 0,
+) -> Dict[str, Optional[float]]:
+    """MOSES-like metric dict for a batch of generated molecules."""
+    smiles = canonical_smiles(gen_mols)
+    k_list = [1000, 10000]
+    metrics: Dict[str, Optional[float]] = {
+        "validity": fraction_valid(gen_mols, n_generated),
+        "validity_wo_correction": num_no_correct / max(1, n_generated),
+        "uniqueness": fraction_unique(smiles),
+        "novelty": novelty(smiles, train_smiles),
+        "FCD/Test": fcd_score(smiles, test_smiles),
+    }
+    for k in k_list:
+        if len(smiles) >= k:
+            metrics[f"unique@{k}"] = fraction_unique(smiles, k)
+    return metrics

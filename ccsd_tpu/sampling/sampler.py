@@ -1,0 +1,246 @@
+"""Sampling orchestration: checkpoint -> scanned PC/S4 sampling -> eval.
+
+Parity target: ccsd/src/sampler.py:92-681 (Sampler_Graph / Sampler_CC).
+The reference samples `ceil(|test|/batch)` rounds with a Python PC loop;
+here each round is one jitted scan invocation, and rounds differ only in
+their RNG key / flag sample, so compilation is amortized across rounds.
+Molecule samplers live in ccsd_tpu/sampling/mol_sampler.py (RDKit-gated).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccsd_tpu.data.cc_codec import cc_from_incidence, convert_CC_to_graphs
+from ccsd_tpu.data.loader import init_flags as sample_init_flags
+from ccsd_tpu.data.loader import load_data
+from ccsd_tpu.diffusion.losses import get_score_fn, get_score_fn_cc
+from ccsd_tpu.diffusion.sde import load_sde
+from ccsd_tpu.diffusion.solvers import get_pc_sampler, get_s4_solver
+from ccsd_tpu.models.registry import load_model
+from ccsd_tpu.ops.cells import get_spec
+from ccsd_tpu.ops.masks import quantize
+from ccsd_tpu.training.checkpoint import (
+    ckpt_path,
+    load_ckpt_file,
+    load_torch_reference_ckpt,
+)
+from ccsd_tpu.training.ema import ema_copy_to
+from ccsd_tpu.utils.config import AttrDict
+from ccsd_tpu.utils.logger import Logger
+
+
+def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
+                     batch_size: int, record_trajectory: bool = False):
+    """Build the sampling closure.  Parity: loader.py:337-458."""
+    sde_x = load_sde(config_train.sde.x)
+    sde_adj = load_sde(config_train.sde.adj)
+    max_node_num = config_train.data.max_node_num
+    shape_x = (batch_size, max_node_num, config_train.data.max_feat_num)
+    shape_adj = (batch_size, max_node_num, max_node_num)
+    kwargs: Dict[str, Any] = dict(
+        predictor=config_module.predictor,
+        corrector=config_module.corrector,
+        snr=config_module.snr,
+        scale_eps=config_module.scale_eps,
+        n_steps=config_module.n_steps,
+        probability_flow=config_sample.probability_flow,
+        denoise=config_sample.noise_removal,
+        eps=config_sample.eps,
+        record_trajectory=record_trajectory,
+    )
+    if is_cc:
+        sde_rank2 = load_sde(config_train.sde.rank2)
+        spec = get_spec(max_node_num, config_train.data.d_min,
+                        config_train.data.d_max)
+        kwargs.update(
+            is_cc=True, sde_rank2=sde_rank2,
+            shape_rank2=(batch_size, spec.num_edges, spec.num_cells), spec=spec,
+        )
+    maker = get_s4_solver if config_module.predictor == "S4" else get_pc_sampler
+    if config_module.predictor == "S4":
+        kwargs.pop("predictor", None)
+        kwargs.pop("corrector", None)
+        kwargs.pop("n_steps", None)
+        kwargs.pop("probability_flow", None)
+    return maker(sde_x, sde_adj, shape_x, shape_adj, **kwargs)
+
+
+class Sampler:
+    """Generic-graph / CC sampler with MMD evaluation."""
+
+    def __init__(self, config, log: bool = True):
+        self.config = config
+        self.is_cc = bool(config.get("is_cc", False))
+        self.logger = Logger(verbose=log)
+
+    # ------------------------------------------------------------- loading --
+
+    def _load_checkpoint(self):
+        cfg = self.config
+        folder = cfg.get("folder", "./")
+        name = str(cfg.ckpt)
+        path = ckpt_path(folder, str(cfg.data.data), name)
+        if os.path.exists(path):
+            ckpt = load_ckpt_file(path)
+            use_ema = bool(cfg.sample.use_ema)
+            params = {}
+            names = ["x", "adj", "rank2"] if self.is_cc else ["x", "adj"]
+            for n in names:
+                if use_ema:
+                    params[n] = ckpt[f"ema_{n}"].shadow_params if hasattr(
+                        ckpt[f"ema_{n}"], "shadow_params"
+                    ) else ckpt[f"ema_{n}"][2]
+                else:
+                    params[n] = ckpt[f"{n}_params"]
+            defs = {n: ckpt[f"params_{n}"] for n in names}
+            configt = AttrDict(ckpt["model_config"])
+            return configt, defs, params
+        # fall back to a reference torch checkpoint (.pth)
+        pth = os.path.join(folder, "checkpoints", str(cfg.data.data), f"{name}.pth")
+        if os.path.exists(pth):
+            ckpt = load_torch_reference_ckpt(pth, is_cc=self.is_cc)
+            names = ["x", "adj", "rank2"] if self.is_cc else ["x", "adj"]
+            use_ema = bool(cfg.sample.use_ema)
+            params = {}
+            for n in names:
+                key = f"{n}_ema_params" if use_ema and f"{n}_ema_params" in ckpt \
+                    else f"{n}_params"
+                params[n] = ckpt[key]
+            defs = {n: ckpt[f"params_{n}"] for n in names}
+            mc = ckpt.get("model_config")
+            configt = AttrDict(mc) if isinstance(mc, dict) else self.config
+            return configt, defs, params
+        raise FileNotFoundError(f"No checkpoint found at {path} or {pth}")
+
+    # ------------------------------------------------------------ sampling --
+
+    def sample(self) -> Dict[str, Any]:
+        cfg = self.config
+        t_start = time.perf_counter()
+        configt, defs, params = self._load_checkpoint()
+        models = {n: load_model(d) for n, d in defs.items()}
+
+        train_objs, test_objs = load_data(configt, get_list=True, is_cc=self.is_cc)
+        batch_size = int(configt.data.batch_size)
+        divide_batch = cfg.sample.get("divide_batch")
+        if divide_batch:
+            batch_size //= int(divide_batch)
+        n_rounds = max(1, math.ceil(len(test_objs) / batch_size))
+
+        sampling_fn = load_sampling_fn(
+            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size
+        )
+        sdes = {n: load_sde(configt.sde[n]) for n in params}
+        if self.is_cc:
+            score_fns = [
+                get_score_fn_cc(sdes[n], models[n], params[n])
+                for n in ("x", "adj", "rank2")
+            ]
+        else:
+            score_fns = [
+                get_score_fn(sdes[n], models[n], params[n]) for n in ("x", "adj")
+            ]
+        jitted = jax.jit(lambda fl, k: sampling_fn(*score_fns, fl, k))
+
+        seed = int(cfg.sample.get("seed", 42))
+        key = jax.random.PRNGKey(seed)
+        rng = np.random.default_rng(seed)
+
+        gen_graphs: List = []
+        gen_ccs: List = []
+        num_sampling_rounds = n_rounds
+        for r in range(num_sampling_rounds):
+            key, sub = jax.random.split(key)
+            flags = sample_init_flags(
+                train_objs, configt, batch_size, is_cc=self.is_cc, rng=rng
+            )
+            out = jitted(jnp.asarray(flags), sub)
+            adj_q = np.asarray(quantize(out.adj))
+            x_np = np.asarray(out.x)
+            if self.is_cc:
+                rank2_q = np.asarray(quantize(out.rank2))
+                d_min, d_max = configt.data.d_min, configt.data.d_max
+                for i in range(adj_q.shape[0]):
+                    cc = cc_from_incidence(
+                        [x_np[i], adj_q[i], rank2_q[i]], d_min, d_max
+                    )
+                    gen_ccs.append(cc)
+                gen_graphs.extend(
+                    convert_CC_to_graphs(gen_ccs[-adj_q.shape[0]:])
+                )
+            else:
+                from ccsd_tpu.eval.stats import adjs_to_graphs
+
+                gen_graphs.extend(adjs_to_graphs(adj_q))
+        sampling_time = time.perf_counter() - t_start
+
+        results: Dict[str, Any] = {
+            "graphs": gen_graphs[: len(test_objs)],
+            "ccs": gen_ccs[: len(test_objs)] if self.is_cc else None,
+            "sampling_time": sampling_time,
+        }
+
+        # ---- evaluation
+        if cfg.sample.get("eval", True):
+            from ccsd_tpu.eval.stats import eval_graph_list, load_eval_settings
+
+            if self.is_cc:
+                test_graphs = convert_CC_to_graphs(test_objs)
+            else:
+                test_graphs = test_objs
+            methods, kernels = load_eval_settings()
+            results["mmd"] = eval_graph_list(
+                test_graphs, results["graphs"], methods=methods, kernels=kernels
+            )
+            if self.is_cc:
+                from ccsd_tpu.eval.cc_stats import eval_CC_list
+
+                worker_kwargs = dict(
+                    d_min=configt.data.d_min, d_max=configt.data.d_max,
+                    N=configt.data.max_node_num,
+                    min_node_val=configt.data.min_node_val,
+                    max_node_val=configt.data.max_node_val,
+                    node_label=configt.data.node_label,
+                    min_edge_val=configt.data.min_edge_val,
+                    max_edge_val=configt.data.max_edge_val,
+                    edge_label=configt.data.edge_label,
+                )
+                results["cc_mmd"] = eval_CC_list(
+                    test_objs, results["ccs"], worker_kwargs,
+                    cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
+                )
+            for k, v in (results.get("mmd") or {}).items():
+                self.logger.log(f"{k:9s} : {v:.6f}")
+            for k, v in (results.get("cc_mmd") or {}).items():
+                self.logger.log(f"{k:24s} : {v:.6f}")
+
+        # ---- persist samples
+        folder = cfg.get("folder", "./")
+        out_dir = os.path.join(folder, "samples", str(cfg.data.data))
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "samples.pkl"), "wb") as f:
+            pickle.dump(
+                results["ccs"] if self.is_cc else results["graphs"], f
+            )
+        self.logger.log(f"Sampling round(s): {num_sampling_rounds}, "
+                        f"time: {sampling_time:.1f}s")
+        return results
+
+
+def get_sampler_from_config(config, **kwargs):
+    """Factory: 4-way dispatch.  Parity: sampler.py:1480-1503."""
+    is_molecular = str(config.data.data) in ("QM9", "ZINC250k")
+    if is_molecular:
+        from ccsd_tpu.sampling.mol_sampler import MolSampler
+
+        return MolSampler(config, **kwargs)
+    return Sampler(config, **kwargs)
