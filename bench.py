@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: PC-sampler throughput on community_small, one chip.
+
+Prints ONE JSON line:
+  {"metric": "sampler_edges_per_s_per_chip", "value": N, "unit": "edges/s",
+   "vs_baseline": N / REF_BASELINE_EDGES_PER_S, ...}
+
+Protocol (matches the reference's sampling hot loop, SURVEY.md section 3.2):
+ScoreNetworkX + ScoreNetworkA at gdss_community_small checkpoint shapes
+(N=20 nodes, F=10 features), batch 128, 1000 reverse-diffusion steps with
+Euler predictor + 1-step Langevin corrector => 2 model evals (x & adj pairs)
+per step, exactly like the reference.  edges/s = B * C(N,2) * steps / time.
+
+Baseline: the reference PyTorch sampler (ccsd/src/solver.py pc_sampler) run
+from the shipped gdss_community_small.pth on this host's CPU — the only
+hardware the single-process reference can use here — measured at
+1.86 steps/s == 45,290 edges/s (537 ms/step, batch 128).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REF_BASELINE_EDGES_PER_S = 45_290.0  # reference torch CPU, this host (see above)
+
+B, N, F = 128, 20, 10
+STEPS = 1000
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ccsd_tpu.diffusion.losses import get_score_fn
+    from ccsd_tpu.diffusion.sde import VPSDE
+    from ccsd_tpu.diffusion.solvers import get_pc_sampler
+    from ccsd_tpu.models.registry import load_model
+
+    mx = load_model(dict(model_type="ScoreNetworkX", max_feat_num=F, depth=3,
+                         nhid=32, use_bn=False, is_cc=False))
+    ma = load_model(dict(model_type="ScoreNetworkA", max_feat_num=F,
+                         max_node_num=N, nhid=32, num_layers=5, num_linears=2,
+                         c_init=2, c_hid=8, c_final=4, adim=32, num_heads=4,
+                         conv="GCN", use_bn=False, is_cc=False))
+    px = mx.init(jax.random.PRNGKey(0))
+    pa = ma.init(jax.random.PRNGKey(1))
+    sde_x = VPSDE(N=STEPS, beta_min=0.1, beta_max=1.0)
+    sde_adj = VPSDE(N=STEPS, beta_min=0.1, beta_max=1.0)
+    sampler = get_pc_sampler(
+        sde_x, sde_adj, (B, N, F), (B, N, N), predictor="Euler",
+        corrector="Langevin", snr=0.05, scale_eps=0.7, n_steps=1,
+        denoise=True, eps=1e-4,
+    )
+    sfx = get_score_fn(sde_x, mx, px)
+    sfa = get_score_fn(sde_adj, ma, pa)
+    jitted = jax.jit(lambda fl, k: sampler(sfx, sfa, fl, k))
+    flags = jnp.ones((B, N))
+
+    # compile warmup
+    out = jitted(flags, jax.random.PRNGKey(2))
+    out.adj.block_until_ready()
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = jitted(flags, jax.random.PRNGKey(3 + i))
+        out.adj.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    edges = B * (N * (N - 1) // 2)
+    edges_per_s = edges * STEPS / elapsed
+    steps_per_s = STEPS / elapsed
+    print(json.dumps({
+        "metric": "sampler_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / REF_BASELINE_EDGES_PER_S, 2),
+        "steps_per_s": round(steps_per_s, 2),
+        "batch": B,
+        "diffusion_steps": STEPS,
+        "wall_s": round(elapsed, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
