@@ -50,6 +50,10 @@ def create_incidence_1_2(
         f = max(1, len(attributes_names))
     F = np.zeros((spec.num_edges, spec.num_cells, f), dtype=np.float32)
     for c, attrs in two_rank_cells.items():
+        if not (d_min <= len(c) <= d_max):
+            # cells outside the configured size window are dropped (the
+            # reference raises a KeyError here, cc_utils.py:135)
+            continue
         j = spec.cell_col[frozenset(c)]
         combi = tuple(c)
         for k in range(len(combi) - 1):

@@ -253,3 +253,25 @@ def generate_dataset(
         lifting_procedure_kwargs=kwargs, max_nb_nodes=max_nb_nodes,
     )
     save_dataset(data_dir, ccs, f"{dataset}_CC")
+
+
+def main():
+    """CLI.  Parity: ccsd/src/parsers/parser_generator.py:10-72."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, default="community_small")
+    p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--is_cc", action="store_true")
+    p.add_argument("--folder", type=str, default="./")
+    args = p.parse_args()
+    generate_dataset(
+        args.dataset,
+        data_dir=os.path.join(args.folder, args.data_dir),
+        is_cc=args.is_cc,
+        folder=args.folder,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,14 +49,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Optional[Mesh], *arrays):
-    """Device-put arrays with batch sharding (no-op without a mesh)."""
+    """Device-put arrays with batch sharding (no-op without a mesh).
+
+    Batches whose leading dim does not divide the 'data' axis (e.g. a ragged
+    final batch) are placed replicated instead — correctness over speed for
+    the stragglers.
+    """
     import jax.numpy as jnp
 
     if mesh is None or mesh.size == 1:
         return tuple(jnp.asarray(a) for a in arrays)
-    return tuple(
-        jax.device_put(a, data_sharding(mesh, np.ndim(a))) for a in arrays
-    )
+    n_data = mesh.shape.get("data", mesh.size)
+    out = []
+    for a in arrays:
+        if np.shape(a)[0] % n_data == 0:
+            out.append(jax.device_put(a, data_sharding(mesh, np.ndim(a))))
+        else:
+            out.append(jax.device_put(jnp.asarray(a), replicated(mesh)))
+    return tuple(out)
 
 
 def replicate_tree(mesh: Optional[Mesh], tree):

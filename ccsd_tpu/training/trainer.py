@@ -222,6 +222,13 @@ class Trainer:
             f"({self.state.step} steps)"
         )
         self.history = history
+        if self.log_folder_name:
+            try:
+                from ccsd_tpu.utils.plot import plot_lc
+
+                plot_lc(history, self.names, save_dir=self.log_folder_name)
+            except Exception as e:  # plotting must never kill a train run
+                self.logger.log(f"learning-curve plot failed: {e}")
         return self.ckpt_name
 
     # ------------------------------------------------------------ checkpoint --
