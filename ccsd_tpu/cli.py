@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="root folder for config/data/checkpoints")
     p.add_argument("--comment", type=str, default="", help="run comment")
     p.add_argument("--seed", type=int, default=42, help="random seed")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint name to resume training from")
     return p
 
 
@@ -38,6 +40,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         folder=args.folder,
         comment=args.comment,
         seed=args.seed,
+        resume=args.resume,
     )
     return 0
 

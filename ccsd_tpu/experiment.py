@@ -17,6 +17,7 @@ def run_experiment(
     folder: str = "./",
     comment: str = "",
     seed: int = 42,
+    resume: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Run a train or sample experiment from a YAML config."""
     config = get_config(config_name, seed, folder)
@@ -28,6 +29,8 @@ def run_experiment(
         from ccsd_tpu.training.trainer import get_trainer_from_config
 
         trainer = get_trainer_from_config(config)
+        if resume:
+            trainer.load_checkpoint(resume)
         ckpt_name = trainer.train()
         results["ckpt"] = ckpt_name
         results["trainer"] = trainer

@@ -59,6 +59,12 @@ class Trainer:
         self.logger = Logger(
             file_path=None if not log else self._log_path(), verbose=True
         )
+        from ccsd_tpu.utils.tracking import Tracker
+
+        self.tracker = Tracker(
+            config.get("general_config"), run_name=f"{config.data.data}-train",
+            config=config.to_dict() if hasattr(config, "to_dict") else None,
+        )
 
         # data
         self.train_loader, self.test_loader = load_data(
@@ -200,6 +206,16 @@ class Trainer:
             mean_test = np.mean(np.asarray(test_losses), axis=0)
             history["train"].append(mean_train)
             history["test"].append(mean_test)
+            if self.tracker.active:
+                self.tracker.log(
+                    {
+                        **{f"train_{n}_loss": float(v)
+                           for n, v in zip(self.names, mean_train)},
+                        **{f"test_{n}_loss": float(v)
+                           for n, v in zip(self.names, mean_test)},
+                    },
+                    step=epoch,
+                )
 
             if epoch % tc.print_interval == tc.print_interval - 1 or epoch == 0:
                 parts_tr = " | ".join(
@@ -232,6 +248,25 @@ class Trainer:
         return self.ckpt_name
 
     # ------------------------------------------------------------ checkpoint --
+
+    def load_checkpoint(self, name: str) -> None:
+        """Resume training state (params + optimizer + EMA) from a checkpoint.
+
+        Capability upgrade over the reference, which stores no optimizer
+        state and cannot resume (trainer.py:258-283).
+        """
+        from ccsd_tpu.parallel.mesh import replicate_tree
+        from ccsd_tpu.training.checkpoint import ckpt_path as _cp, load_ckpt_file
+
+        path = _cp(self.config.get("folder", "./"), str(self.config.data.data), name)
+        ckpt = load_ckpt_file(path)
+        for n in self.names:
+            self.state.params[n] = replicate_tree(self.mesh, ckpt[f"{n}_params"])
+            self.state.opt_states[n] = jax.tree.map(
+                jnp.asarray, ckpt[f"{n}_opt_state"]
+            )
+            self.state.emas[n] = jax.tree.map(jnp.asarray, ckpt[f"ema_{n}"])
+        self.logger.log(f"Resumed training state from {path}")
 
     def save_checkpoint(self, suffix: str = "") -> str:
         cfg = self.config
