@@ -31,7 +31,10 @@ def run_experiment(
         trainer = get_trainer_from_config(config)
         if resume:
             trainer.load_checkpoint(resume)
-        ckpt_name = trainer.train()
+        if config.train.get("scan_epochs"):
+            ckpt_name = trainer.train_scanned()
+        else:
+            ckpt_name = trainer.train()
         results["ckpt"] = ckpt_name
         results["trainer"] = trainer
         if "sample" in config:

@@ -1,0 +1,92 @@
+"""On-device epoch scanning: many training epochs per jitted call.
+
+The reference's epoch loop (trainer.py:416-566) — and a naive port — pays a
+host round trip per batch; over the axon TPU tunnel that is ~0.2 s/epoch of
+pure latency for community_small.  For datasets that fit in HBM (all the
+generic-graph benchmarks do) we instead `lax.scan` over epochs *inside one
+XLA program*: per-epoch shuffling is a `jax.random.permutation`, minibatches
+are gathers, and train losses stream out as scan outputs.  5000 epochs
+compile once and run in seconds.
+
+Semantics vs the reference loop:
+  * identical math per step (same loss, clip, Adam, EMA warmup);
+  * shuffling uses the jax PRNG instead of the torch loader's;
+  * ragged final minibatches are dropped within an epoch (each epoch sees
+    `steps_per_epoch * batch` samples of a fresh permutation), whereas the
+    reference pads nothing and consumes them — coverage matches in
+    expectation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ccsd_tpu.training.ema import ema_update
+
+
+def build_epoch_scanner(
+    names,
+    loss_fn,
+    optimizers: Dict[str, Any],
+    train_arrays: Tuple[jnp.ndarray, ...],
+    test_arrays: Tuple[jnp.ndarray, ...],
+    batch_size: int,
+):
+    """Return jitted ``run(params, opts, emas, key, num_epochs) -> (state..., losses)``.
+
+    num_epochs is static (recompiles per distinct value; call with the same
+    chunk size, e.g. 500, and loop).
+    """
+    n = train_arrays[0].shape[0]
+    eff_batch = min(batch_size, n)
+    steps_per_epoch = max(1, n // eff_batch)
+
+    def epoch_body(carry, key):
+        params, opts, emas = carry
+        k_perm, k_loss, k_test = jax.random.split(key, 3)
+        perm = jax.random.permutation(k_perm, n)
+
+        def step_body(carry, s):
+            params, opts, emas = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, s * eff_batch, eff_batch)
+            batch = tuple(a[idx] for a in train_arrays)
+
+            def total(p):
+                losses = loss_fn(*[p[nm] for nm in names], *batch,
+                                 jax.random.fold_in(k_loss, s))
+                return sum(losses), losses
+
+            (_, losses), grads = jax.value_and_grad(total, has_aux=True)(params)
+            new_params, new_opts, new_emas = {}, {}, {}
+            for nm in names:
+                updates, new_opts[nm] = optimizers[nm].update(
+                    grads[nm], opts[nm], params[nm]
+                )
+                new_params[nm] = optax.apply_updates(params[nm], updates)
+                new_emas[nm] = ema_update(emas[nm], new_params[nm])
+            return (new_params, new_opts, new_emas), jnp.stack(losses)
+
+        (params, opts, emas), step_losses = jax.lax.scan(
+            step_body, (params, opts, emas), jnp.arange(steps_per_epoch)
+        )
+        # EMA-swapped test loss on the full test set (trainer.py:476-497)
+        ema_params = {nm: emas[nm].shadow_params for nm in names}
+        test_losses = loss_fn(
+            *[ema_params[nm] for nm in names], *test_arrays, k_test
+        )
+        return (params, opts, emas), (
+            step_losses.mean(axis=0), jnp.stack(test_losses)
+        )
+
+    def run(params, opts, emas, key, num_epochs: int):
+        keys = jax.random.split(key, num_epochs)
+        (params, opts, emas), (train_l, test_l) = jax.lax.scan(
+            epoch_body, (params, opts, emas), keys
+        )
+        return params, opts, emas, train_l, test_l
+
+    return jax.jit(run, static_argnames="num_epochs")

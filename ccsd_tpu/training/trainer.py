@@ -175,6 +175,62 @@ class Trainer:
 
     # ----------------------------------------------------------------- loop --
 
+    def train_scanned(self, epochs_per_call: int = 500) -> str:
+        """On-device epoch scanning (see training/scan_train.py).
+
+        Requires the dataset to fit in device memory; identical step math to
+        :meth:`train` with jax-PRNG shuffling.  Orders of magnitude faster
+        for small datasets over a remote TPU tunnel.
+        """
+        from ccsd_tpu.training.scan_train import build_epoch_scanner
+
+        cfg = self.config
+        tc = cfg.train
+        train_arrays = tuple(jnp.asarray(a) for a in self.train_loader.arrays)
+        test_arrays = tuple(jnp.asarray(a) for a in self.test_loader.arrays)
+        runner = build_epoch_scanner(
+            self.names, self.loss_fn, self.optimizers, train_arrays,
+            test_arrays, cfg.data.batch_size,
+        )
+        key = jax.random.PRNGKey(self.seed)
+        history = {"train": [], "test": []}
+        t_start = time.perf_counter()
+        done = 0
+        while done < tc.num_epochs:
+            chunk = min(epochs_per_call, tc.num_epochs - done)
+            key, sub = jax.random.split(key)
+            (params, opts, emas, train_l, test_l) = runner(
+                self.state.params, self.state.opt_states, self.state.emas,
+                sub, chunk,
+            )
+            self.state.params, self.state.opt_states, self.state.emas = (
+                params, opts, emas,
+            )
+            history["train"].extend(np.asarray(train_l))
+            history["test"].extend(np.asarray(test_l))
+            done += chunk
+            parts = " | ".join(
+                f"test {n}: {v:.3e}"
+                for n, v in zip(self.names, np.asarray(test_l)[-1])
+            )
+            self.logger.log(
+                f"[EPOCH {done:04d}] {parts} | "
+                f"{time.perf_counter() - t_start:.2f}s cumulative"
+            )
+            if done % tc.save_interval == 0 or done >= tc.num_epochs:
+                self.save_checkpoint(suffix="")
+        self.state.step = done * max(
+            1, train_arrays[0].shape[0] // min(cfg.data.batch_size,
+                                               train_arrays[0].shape[0])
+        )
+        self.save_checkpoint(suffix="_final")
+        self.history = history
+        self.logger.log(
+            f"Scanned training done in {time.perf_counter() - t_start:.1f}s "
+            f"({done} epochs)"
+        )
+        return self.ckpt_name
+
     def train(self, ts: Optional[str] = None) -> str:
         cfg = self.config
         tc = cfg.train

@@ -129,3 +129,24 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     b = jax.tree.leaves(ckpt["x_params"])
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_train_scanned_matches_loop_quality(tmp_path):
+    """On-device epoch scanning trains to comparable losses."""
+    name = _make_dataset(tmp_path)
+    cfg = _config(tmp_path, name)
+    cfg.train.num_epochs = 20
+
+    from ccsd_tpu.training.trainer import Trainer
+
+    t1 = Trainer(cfg, log=False)
+    t1.train_scanned(epochs_per_call=10)
+    assert len(t1.history["train"]) == 20
+    scanned_final = np.asarray(t1.history["test"])[-1]
+
+    t2 = Trainer(cfg, log=False)
+    t2.train()
+    loop_final = np.asarray(t2.history["test"])[-1]
+    assert np.isfinite(scanned_final).all() and np.isfinite(loop_final).all()
+    # same order of magnitude after the same number of epochs
+    assert np.all(scanned_final < 5 * loop_final + 50)
