@@ -1,0 +1,134 @@
+"""Utility-layer tests: config family, logger, errors, plots, tracking."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_all_configs_parse_and_have_schema():
+    import yaml
+
+    from ccsd_tpu.utils.config import AttrDict
+
+    cfg_dir = os.path.join(REPO, "config")
+    names = [f[:-5] for f in os.listdir(cfg_dir) if f.endswith(".yaml")]
+    assert len(names) >= 38
+    for name in names:
+        if name == "general_config":
+            continue
+        with open(os.path.join(cfg_dir, f"{name}.yaml")) as f:
+            cfg = AttrDict(yaml.safe_load(f))
+        assert "data" in cfg and "sampler" in cfg and "sample" in cfg, name
+        if not name.startswith("sample"):
+            assert "sde" in cfg and "model" in cfg and "train" in cfg, name
+        if cfg.get("is_cc") and "sde" in cfg:
+            assert "rank2" in cfg.sde, name
+
+
+def test_get_config_injects_seed(tmp_path):
+    import yaml
+
+    from ccsd_tpu.utils.config import get_config
+
+    os.makedirs(tmp_path / "config")
+    yaml.safe_dump({"data": {"data": "x"}}, open(tmp_path / "config" / "c.yaml", "w"))
+    cfg = get_config("c", 7, str(tmp_path))
+    assert cfg.seed == 7 and cfg.config_name == "c"
+    assert cfg.folder == str(tmp_path)
+
+
+def test_attrdict_nested_access_and_to_dict():
+    from ccsd_tpu.utils.config import AttrDict
+
+    d = AttrDict({"a": {"b": [1, {"c": 2}]}})
+    assert d.a.b[1].c == 2
+    d.x = {"y": 3}
+    assert d.x.y == 3
+    rt = d.to_dict()
+    assert isinstance(rt["a"], dict) and not isinstance(
+        rt["a"], AttrDict
+    )
+
+
+def test_logger_writes_file(tmp_path):
+    from ccsd_tpu.utils.logger import Logger, check_log, set_log
+
+    log = Logger(file_path=str(tmp_path / "sub" / "a.log"), verbose=False)
+    log.log("hello")
+    log.log("world")
+    assert open(tmp_path / "sub" / "a.log").read() == "hello\nworld\n"
+
+    from ccsd_tpu.utils.config import AttrDict
+
+    cfg = AttrDict({"data": {"data": "d"}, "train": {"name": "t"},
+                    "folder": str(tmp_path)})
+    folder, log_name, ckpt = set_log(cfg)
+    assert os.path.isdir(folder)
+    assert os.path.isdir(tmp_path / "checkpoints" / "d")
+    assert check_log(cfg)
+
+
+def test_check_sym():
+    from ccsd_tpu.utils.errors import SymmetryError, check_sym
+
+    a = jnp.ones((2, 3, 3))
+    check_sym(a)  # no raise
+    b = a.at[0, 0, 1].set(5.0)
+    with pytest.raises(SymmetryError):
+        check_sym(b)
+
+
+def test_count_params():
+    from ccsd_tpu.utils.models_utils import count_params
+
+    tree = {"a": jnp.zeros((2, 3)), "b": [jnp.zeros(4), jnp.zeros(())]}
+    assert count_params(tree) == 6 + 4 + 1
+
+
+def test_plot_graphs_and_lc(tmp_path):
+    import networkx as nx
+
+    from ccsd_tpu.utils.plot import diffusion_animation, plot_graphs_list, plot_lc
+
+    graphs = [nx.cycle_graph(5) for _ in range(4)]
+    out = plot_graphs_list(graphs, title="t", save_dir=str(tmp_path))
+    assert out and os.path.exists(out)
+    hist = {"train": [[1.0, 2.0], [0.5, 1.5]], "test": [[1.1, 2.1], [0.6, 1.6]]}
+    out = plot_lc(hist, ["x", "adj"], save_dir=str(tmp_path))
+    assert out and os.path.exists(out)
+    traj = np.random.default_rng(0).random((10, 6, 6))
+    out = diffusion_animation(traj, str(tmp_path), every=5)
+    assert out is None or os.path.exists(out)
+
+
+def test_plot_cc_list(tmp_path):
+    from ccsd_tpu.data.complex import CombinatorialComplex
+    from ccsd_tpu.utils.plot import plot_cc_list
+
+    cc = CombinatorialComplex()
+    for e in [(0, 1), (1, 2), (2, 0)]:
+        cc.add_cell(e, rank=1)
+    cc.add_cell({0, 1, 2}, rank=2)
+    out = plot_cc_list([cc, cc], title="cc", save_dir=str(tmp_path))
+    assert out and os.path.exists(out)
+
+
+def test_tracker_noop():
+    from ccsd_tpu.utils.tracking import Tracker
+
+    t = Tracker(None)
+    assert not t.active
+    t.log({"a": 1})  # no-op, no raise
+    t.finish()
+
+
+def test_run_id_format():
+    from ccsd_tpu.utils.logger import run_id
+
+    rid = run_id()
+    assert len(rid) > 5 and "-" in rid
