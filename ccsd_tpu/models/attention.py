@@ -163,19 +163,16 @@ class AttentionLayer:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (B, N, F_i), adj: (B, C_i, N, N) -> ((B, N, F_o), (B, C_o, N, N)).
 
-        The per-channel Attention modules are evaluated as ONE vmapped call
-        over stacked channel params (identical math to the reference's
-        Python loop over `self.attn`, attention.py:288-291, but the C_i
-        small matmuls become single batched MXU contractions).
+        Note: a channel-vmapped variant (stacked params + one batched call)
+        was benchmarked and is SLOWER than this unrolled loop at CCSD shapes
+        (568 vs 636 sampler steps/s at B=128) — XLA already fuses the
+        unrolled channels well; see DESIGN_NOTES.md.
         """
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["attn"])
-        v_c, m_c = jax.vmap(
-            lambda p, a: self.attn.apply(p, x, a, flags),
-            in_axes=(0, 1), out_axes=(0, 1),
-        )(stacked, adj)
-        # v_c: (C, B, N, F_o) -> concat on features; m_c: (B, C, N, N)
-        vs = [v_c[k] for k in range(self.input_dim)]
-        masks = [m_c[:, k] for k in range(self.input_dim)]
+        vs, masks = [], []
+        for k in range(self.input_dim):
+            v, m = self.attn.apply(params["attn"][k], x, adj[:, k], flags)
+            vs.append(v)
+            masks.append(m)
         x_out = self.multi_channel.apply(
             params["multi_channel"], jnp.concatenate(vs, axis=-1)
         )

@@ -128,3 +128,22 @@ def test_nspdk_deterministic():
     a = vectorize([g]).toarray()
     b = vectorize([g]).toarray()
     np.testing.assert_array_equal(a, b)
+
+
+def test_enzymes_loader_matches_shipped_pickle():
+    """graph_load_batch on the reference's raw TU files reproduces the
+    shipped ENZYMES_small pickle exactly (isomorphism check)."""
+    import os
+
+    if not os.path.isdir("/root/reference/data/dataset/ENZYMES"):
+        pytest.skip("raw ENZYMES files unavailable")
+    from ccsd_tpu.data.generators import graph_load_batch
+    from ccsd_tpu.data.loader import load_dataset
+
+    graphs = graph_load_batch(
+        min_num_nodes=1, max_num_nodes=12, name="ENZYMES",
+        node_attributes=False, graph_labels=True, folder="/root/reference",
+    )
+    ref = load_dataset("/root/reference/data", "ENZYMES_small")
+    assert len(graphs) == len(ref) == 35
+    assert all(nx.is_isomorphic(a, b) for a, b in zip(graphs, ref))
