@@ -10,6 +10,23 @@ from typing import Any, Dict, Optional
 
 from ccsd_tpu.utils.config import AttrDict, get_config
 
+_BANNER = r"""
+  ___ ___ ___ ___     _____ ___ _   _
+ / __/ __/ __|   \   |_   _| _ \ | | |
+| (_| (__\__ \ |) |    | | |  _/ |_| |
+ \___\___|___/___/     |_| |_|  \___/
+ score-based diffusion for graphs & combinatorial complexes (TPU-native)
+"""
+
+
+def _initial_print(config) -> None:
+    """Experiment banner.  Parity: ccsd/src/utils/print.py:13-72."""
+    print(_BANNER)
+    print(f"experiment : {config.experiment_type}")
+    print(f"config     : {config.config_name}")
+    print(f"dataset    : {config.data.data}")
+    print(f"seed       : {config.seed}")
+
 
 def run_experiment(
     experiment_type: str,
@@ -23,6 +40,15 @@ def run_experiment(
     config = get_config(config_name, seed, folder)
     config.experiment_type = experiment_type
     config.comment = comment
+    try:
+        from ccsd_tpu.utils.config import get_general_config
+
+        config.general_config = get_general_config(folder)
+    except FileNotFoundError:
+        config.general_config = AttrDict({"use_wandb": False,
+                                          "print_initial": False})
+    if config.general_config.get("print_initial", False):
+        _initial_print(config)
     results: Dict[str, Any] = {}
 
     if experiment_type == "train":

@@ -223,7 +223,7 @@ class Sampler:
             for k, v in (results.get("cc_mmd") or {}).items():
                 self.logger.log(f"{k:24s} : {v:.6f}")
 
-        # ---- persist samples
+        # ---- persist samples + figures (parity: sampler.py:269-305, 640-668)
         folder = cfg.get("folder", "./")
         out_dir = os.path.join(folder, "samples", str(cfg.data.data))
         os.makedirs(out_dir, exist_ok=True)
@@ -231,6 +231,18 @@ class Sampler:
             pickle.dump(
                 results["ccs"] if self.is_cc else results["graphs"], f
             )
+        if cfg.sample.get("plots", True):
+            try:
+                from ccsd_tpu.utils.plot import plot_cc_list, plot_graphs_list
+
+                if self.is_cc:
+                    plot_cc_list(results["ccs"], title="samples",
+                                 save_dir=out_dir)
+                else:
+                    plot_graphs_list(results["graphs"], title="samples",
+                                     save_dir=out_dir)
+            except Exception as e:  # plotting must never kill a sample run
+                self.logger.log(f"sample plotting failed: {e}")
         self.logger.log(f"Sampling round(s): {num_sampling_rounds}, "
                         f"time: {sampling_time:.1f}s")
         return results
