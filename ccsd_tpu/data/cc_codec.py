@@ -37,9 +37,15 @@ def create_incidence_1_2(
     d_min: int,
     d_max: int,
     two_rank_cells: Dict[frozenset, Dict[str, Any]],
+    spec=None,
 ) -> np.ndarray:
-    """Rank-1→rank-2 incidence matrix from A and the rank-2 cell dict."""
-    spec = get_spec(N, d_min, d_max)
+    """Rank-1→rank-2 incidence matrix from A and the rank-2 cell dict.
+
+    With an explicit `spec` (e.g. an active-cell universe) columns follow
+    spec.cells; otherwise the full reference enumeration for (N, d_min, d_max).
+    """
+    if spec is None:
+        spec = get_spec(N, d_min, d_max)
     A = np.asarray(A)
     if not two_rank_cells:
         f = 1
@@ -50,8 +56,8 @@ def create_incidence_1_2(
         f = max(1, len(attributes_names))
     F = np.zeros((spec.num_edges, spec.num_cells, f), dtype=np.float32)
     for c, attrs in two_rank_cells.items():
-        if not (d_min <= len(c) <= d_max):
-            # cells outside the configured size window are dropped (the
+        if frozenset(c) not in spec.cell_col:
+            # cells outside the configured universe are dropped (the
             # reference raises a KeyError here, cc_utils.py:135)
             continue
         j = spec.cell_col[frozenset(c)]
@@ -75,6 +81,7 @@ def CC_to_incidence_matrices(
     d_min: Optional[int],
     d_max: Optional[int],
     N: Optional[int] = None,
+    spec=None,
 ) -> List[np.ndarray]:
     """CC -> [X, A, F] dense matrices."""
     if not CC.cells.hyperedge_dict:
@@ -117,7 +124,7 @@ def CC_to_incidence_matrices(
     rank2 = CC.cells.hyperedge_dict[2]
     d_min = min(len(c) for c in rank2) if d_min is None else d_min
     d_max = min(len(c) for c in rank2) if d_max is None else d_max
-    F = create_incidence_1_2(N, A, d_min, d_max, rank2)
+    F = create_incidence_1_2(N, A, d_min, d_max, rank2, spec=spec)
     return [X, A, F]
 
 
@@ -126,6 +133,7 @@ def cc_from_incidence(
     d_min: int,
     d_max: int,
     is_molecule: bool = False,
+    spec=None,
 ) -> CombinatorialComplex:
     """[X, A, F] -> CombinatorialComplex, molecule-aware attributes."""
     CC = CombinatorialComplex()
@@ -177,7 +185,8 @@ def cc_from_incidence(
 
     F = mats[2]
     many = F.ndim > 2
-    spec = get_spec(N, d_min, d_max)
+    if spec is None:
+        spec = get_spec(N, d_min, d_max)
     for i, combi in enumerate(spec.cells):
         col = F[:, i]
         if np.any(col):
@@ -267,15 +276,30 @@ def ccs_to_tensors(
     max_node_num: Optional[int] = None,
     d_min: Optional[int] = None,
     d_max: Optional[int] = None,
+    spec=None,
 ):
-    """CC list -> (adjs (B,N,N), rank2 (B,E,K)) float32 numpy arrays."""
+    """CC list -> (adjs (B,N,N), rank2 (B,E,K)) float32 numpy arrays.
+
+    With an explicit `spec` (active-cell universe at max_node_num) the
+    incidence is built directly at the padded node count, skipping the
+    re-index scatter.
+    """
     if max_node_num is None or d_min is None or d_max is None:
         max_node_num, d_min, d_max = get_global_cc_properties(cc_list)
     adjs, rank2s = [], []
     for cc in cc_list:
-        _, adj, rank2 = CC_to_incidence_matrices(cc, d_min, d_max)
-        adjs.append(pad_adjs(adj, max_node_num))
-        rank2s.append(pad_rank2(rank2, max_node_num, d_min, d_max))
+        if spec is not None:
+            _, adj, rank2 = CC_to_incidence_matrices(
+                cc, d_min, d_max, N=max_node_num, spec=spec
+            )
+            adjs.append(pad_adjs(adj, max_node_num))
+            if not rank2.size:
+                rank2 = np.zeros((spec.num_edges, spec.num_cells), np.float32)
+            rank2s.append(rank2)
+        else:
+            _, adj, rank2 = CC_to_incidence_matrices(cc, d_min, d_max)
+            adjs.append(pad_adjs(adj, max_node_num))
+            rank2s.append(pad_rank2(rank2, max_node_num, d_min, d_max))
     return (
         np.asarray(adjs, dtype=np.float32),
         np.asarray(rank2s, dtype=np.float32),

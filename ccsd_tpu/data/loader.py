@@ -126,14 +126,20 @@ def init_flags(
     if batch_size is None:
         batch_size = config.data.batch_size
     max_node_num = config.data.max_node_num
-    if not is_cc:
-        adjs = graphs_to_tensor(obj_list, max_node_num)
-    else:
-        adjs, _ = ccs_to_tensors(
-            obj_list, max_node_num, config.data.d_min, config.data.d_max
-        )
     idx = rng.integers(0, len(obj_list), batch_size)
-    return (np.abs(adjs[idx]).sum(-1) > 1e-5).astype(np.float32)
+    if not is_cc:
+        adjs = graphs_to_tensor([obj_list[i] for i in idx], max_node_num)
+        return (np.abs(adjs).sum(-1) > 1e-5).astype(np.float32)
+    # CC path: a node is "present" iff it touches an edge (node_flags
+    # semantics on |A| row sums) — computed directly from the rank-1 cells,
+    # independent of K (the reference materializes the full rank-2 tensor
+    # here, cc_utils.py:911)
+    flags = np.zeros((batch_size, max_node_num), np.float32)
+    for row, i in enumerate(idx):
+        for edge in obj_list[i].cells.hyperedge_dict.get(1, {}):
+            for v in edge:
+                flags[row, v] = 1.0
+    return flags
 
 
 # -------------------------------------------------------------- batching ----
@@ -196,10 +202,26 @@ def dataloader(config, get_list: bool = False, seed: int = 0):
     return train, test
 
 
+def resolve_cc_spec(config, objs=None):
+    """ComplexSpec for a CC config; `data.cell_universe: observed` activates
+    the active-cell representation (columns = cells seen in the dataset)."""
+    from ccsd_tpu.ops.cells import get_spec, observed_cell_universe
+
+    cells = None
+    if config.data.get("cell_universe") == "observed":
+        if objs is None:
+            objs = load_dataset(config.data.dir, config.data.data)
+        cells = observed_cell_universe(objs)
+    return get_spec(
+        config.data.max_node_num, config.data.d_min, config.data.d_max, cells
+    )
+
+
 def dataloader_cc(config, get_list: bool = False, seed: int = 0):
     """CC dataset -> train/test loaders or lists.
 
-    Parity: ccsd/src/utils/data_loader.py:41-117 (cc path).
+    Parity: ccsd/src/utils/data_loader.py:41-117 (cc path), plus the
+    active-cell universe option (data.cell_universe: observed).
     """
     ccs = load_dataset(config.data.dir, config.data.data)
     n = len(ccs)
@@ -208,9 +230,14 @@ def dataloader_cc(config, get_list: bool = False, seed: int = 0):
     if get_list:
         return train_objs, test_objs
 
+    spec = None
+    if config.data.get("cell_universe") == "observed":
+        spec = resolve_cc_spec(config, ccs)
+
     def to_arrays(objs):
         adjs, rank2 = ccs_to_tensors(
-            objs, config.data.max_node_num, config.data.d_min, config.data.d_max
+            objs, config.data.max_node_num, config.data.d_min,
+            config.data.d_max, spec=spec,
         )
         x = init_features(config.data.init, adjs, config.data.max_feat_num)
         return x, adjs, rank2

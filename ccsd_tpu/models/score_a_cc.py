@@ -65,10 +65,11 @@ class ScoreNetworkA_CC:
     conv_hodge: str = "HCN"
     use_bn: bool = False
     is_cc: bool = True
+    cells: tuple = None  # optional active-cell universe (tuple of node tuples)
 
     @property
     def spec(self):
-        return get_spec(self.max_node_num, self.d_min, self.d_max)
+        return get_spec(self.max_node_num, self.d_min, self.d_max, self.cells)
 
     @property
     def layers(self) -> list[AttentionLayer]:
@@ -171,10 +172,11 @@ class ScoreNetworkA_Base_CC:
     conv: str = "GCN"
     use_bn: bool = False
     is_cc: bool = True
+    cells: tuple = None  # optional active-cell universe (tuple of node tuples)
 
     @property
     def spec(self):
-        return get_spec(self.max_node_num, self.d_min, self.d_max)
+        return get_spec(self.max_node_num, self.d_min, self.d_max, self.cells)
 
     @property
     def layers(self) -> list[AttentionLayer]:

@@ -33,10 +33,11 @@ class ScoreNetworkF:
     use_hodge_mask: bool = True
     use_bn: bool = False
     is_cc: bool = True
+    cells: tuple = None  # optional active-cell universe (tuple of node tuples)
 
     @property
     def spec(self):
-        return get_spec(self.max_node_num, self.d_min, self.d_max)
+        return get_spec(self.max_node_num, self.d_min, self.d_max, self.cells)
 
     @property
     def layers(self) -> list[HodgeNetworkLayer]:

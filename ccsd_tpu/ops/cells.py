@@ -49,8 +49,15 @@ class ComplexSpec:
 
     Attributes:
       N, d_min, d_max: the (max nodes, min cell size, max cell size) family.
+      custom_cells: optional explicit cell universe (tuple of sorted node
+        tuples).  When given, the incidence columns are exactly these cells
+        in this order ("active-cell" representation) instead of the full
+        k-subset enumeration — this is what makes large-K configs (e.g.
+        ego_small_CC's K=12444, or ZINC-scale) tractable: K shrinks to the
+        number of cells that can actually occur.  The reference has no
+        counterpart (its K explodes combinatorially, SURVEY.md §2.6).
       num_edges: E = C(N, 2).
-      num_cells: K = sum_k C(N, k).
+      num_cells: K (full enumeration) or len(custom_cells).
       edge_u / edge_v: (E,) endpoints of each edge row.
       cell_mask: (K, N) float32 0/1 membership matrix (cell c contains node n).
       cell_sizes: (K,) int32 cell cardinalities.
@@ -61,11 +68,14 @@ class ComplexSpec:
     N: int
     d_min: int
     d_max: int
+    custom_cells: tuple = None
     num_edges: int = field(init=False)
     num_cells: int = field(init=False)
 
     def __post_init__(self):
         E, K = rank2_dim(self.N, self.d_min, self.d_max)
+        if self.custom_cells is not None:
+            K = len(self.custom_cells)
         object.__setattr__(self, "num_edges", E)
         object.__setattr__(self, "num_cells", K)
 
@@ -85,7 +95,10 @@ class ComplexSpec:
 
     @functools.cached_property
     def cells(self) -> list[tuple[int, ...]]:
-        """All rank-2 cells in reference column order (tuples, sorted)."""
+        """All rank-2 cells in column order (reference enumeration, or the
+        custom universe)."""
+        if self.custom_cells is not None:
+            return [tuple(sorted(c)) for c in self.custom_cells]
         out: list[tuple[int, ...]] = []
         for k in range(self.d_min, self.d_max + 1):
             out.extend(combinations(range(self.N), k))
@@ -120,9 +133,23 @@ class ComplexSpec:
         return (M[:, self.edge_u] * M[:, self.edge_v]).T.copy()  # (E, K)
 
 
-@functools.lru_cache(maxsize=8)
-def get_spec(N: int, d_min: int, d_max: int) -> ComplexSpec:
-    return ComplexSpec(N, d_min, d_max)
+@functools.lru_cache(maxsize=16)
+def get_spec(N: int, d_min: int, d_max: int, cells: tuple = None) -> ComplexSpec:
+    """Spec for the full k-subset enumeration, or (with `cells`, a hashable
+    tuple of node tuples) an explicit active-cell universe."""
+    return ComplexSpec(N, d_min, d_max, custom_cells=cells)
+
+
+def observed_cell_universe(ccs) -> tuple:
+    """Union of rank-2 cells observed in a CC dataset, as a canonical,
+    deterministically-ordered tuple of node tuples (sorted by size then
+    lexicographically) — the active-cell universe for training on datasets
+    whose full K would be intractable."""
+    seen = set()
+    for cc in ccs:
+        for cell in cc.cells.hyperedge_dict.get(2, {}):
+            seen.add(tuple(sorted(cell)))
+    return tuple(sorted(seen, key=lambda c: (len(c), c)))
 
 
 def n_nodes_from_edges(nb_edges: int) -> int:

@@ -39,7 +39,8 @@ from ccsd_tpu.utils.logger import Logger
 
 
 def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
-                     batch_size: int, record_trajectory: bool = False):
+                     batch_size: int, record_trajectory: bool = False,
+                     spec=None):
     """Build the sampling closure.  Parity: loader.py:337-458."""
     sde_x = load_sde(config_train.sde.x)
     sde_adj = load_sde(config_train.sde.adj)
@@ -59,8 +60,9 @@ def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
     )
     if is_cc:
         sde_rank2 = load_sde(config_train.sde.rank2)
-        spec = get_spec(max_node_num, config_train.data.d_min,
-                        config_train.data.d_max)
+        if spec is None:
+            spec = get_spec(max_node_num, config_train.data.d_min,
+                            config_train.data.d_max)
         kwargs.update(
             is_cc=True, sde_rank2=sde_rank2,
             shape_rank2=(batch_size, spec.num_edges, spec.num_cells), spec=spec,
@@ -128,6 +130,7 @@ class Sampler:
         t_start = time.perf_counter()
         configt, defs, params = self._load_checkpoint()
         models = {n: load_model(d) for n, d in defs.items()}
+        spec = models["rank2"].spec if self.is_cc else None
 
         train_objs, test_objs = load_data(configt, get_list=True, is_cc=self.is_cc)
         batch_size = int(configt.data.batch_size)
@@ -137,7 +140,7 @@ class Sampler:
         n_rounds = max(1, math.ceil(len(test_objs) / batch_size))
 
         sampling_fn = load_sampling_fn(
-            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size
+            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
         if self.is_cc:
@@ -171,7 +174,8 @@ class Sampler:
                 d_min, d_max = configt.data.d_min, configt.data.d_max
                 for i in range(adj_q.shape[0]):
                     cc = cc_from_incidence(
-                        [x_np[i], adj_q[i], rank2_q[i]], d_min, d_max
+                        [x_np[i], adj_q[i], rank2_q[i]], d_min, d_max,
+                        spec=spec,
                     )
                     gen_ccs.append(cc)
                 gen_graphs.extend(

@@ -72,7 +72,15 @@ class Trainer:
         )
 
         # models
-        params_defs = load_model_params(config, is_cc=self.is_cc)
+        params_defs = list(load_model_params(config, is_cc=self.is_cc))
+        if self.is_cc and config.data.get("cell_universe") == "observed":
+            from ccsd_tpu.data.loader import resolve_cc_spec
+
+            spec = resolve_cc_spec(config)
+            for pd in params_defs:
+                if pd["model_type"] in ("ScoreNetworkF", "ScoreNetworkA_CC",
+                                        "ScoreNetworkA_Base_CC"):
+                    pd["cells"] = spec.custom_cells
         self.models = {
             name: load_model(pd) for name, pd in zip(self.names, params_defs)
         }
@@ -81,9 +89,7 @@ class Trainer:
         # sdes + loss
         self.sdes = {name: load_sde(config.sde[name]) for name in self.names}
         if self.is_cc:
-            self.spec = get_spec(
-                config.data.max_node_num, config.data.d_min, config.data.d_max
-            )
+            self.spec = self.models["rank2"].spec
             self.loss_fn = get_sde_loss_fn_cc(
                 self.sdes["x"], self.sdes["adj"], self.sdes["rank2"],
                 self.models["x"], self.models["adj"], self.models["rank2"],
