@@ -175,3 +175,25 @@ def test_shipped_checkpoint_community_small():
     our_a = jma.apply(jpa, jnp.asarray(x), jnp.asarray(adj), flags=jnp.asarray(flags))
     np.testing.assert_allclose(np.asarray(our_x), ref_x.numpy(), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(our_a), ref_a.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_baseline_network():
+    """GDSS BaselineNetwork: not in the reference's registry (loader.py:85-100)
+    but shipped in its codebase; constructed directly."""
+    from ccsd.src.models.ScoreNetwork_A import BaselineNetwork as TBaseline
+
+    params = dict(max_feat_num=F, max_node_num=N, nhid=8, num_layers=3,
+                  num_linears=2, c_init=2, c_hid=4, c_final=3, adim=8,
+                  num_heads=4, conv="GCN", use_bn=False, is_cc=False)
+    x, adj, _, flags = _inputs()
+    tm = TBaseline(**params)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    jm = load_model({**params, "model_type": "BaselineNetwork"})
+    jp = convert(jm, sd)
+    with torch.no_grad():
+        ref = tm.forward(torch.tensor(x), torch.tensor(adj), torch.tensor(flags))
+    ours = jm.apply(jp, jnp.asarray(x), jnp.asarray(adj),
+                    flags=jnp.asarray(flags))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-5,
+                               rtol=1e-4)
