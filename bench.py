@@ -20,15 +20,45 @@ hardware the single-process reference can use here — measured at
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 REF_BASELINE_EDGES_PER_S = 45_290.0  # reference torch CPU, this host (see above)
 
 B, N, F = 128, 20, 10
 STEPS = 1000
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_cache.json")
+
+
+def _watchdog(seconds: float) -> None:
+    """The axon TPU tunnel can wedge indefinitely (DESIGN_NOTES.md); if the
+    measurement exceeds the deadline, emit the last good measurement marked
+    stale (or an explicit failure record) instead of hanging the driver."""
+
+    def fire():
+        time.sleep(seconds)
+        if os.path.exists(CACHE):
+            with open(CACHE) as f:
+                cached = json.load(f)
+            cached["stale"] = True
+            cached["note"] = "TPU unavailable at bench time; cached measurement"
+            print(json.dumps(cached), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "sampler_edges_per_s_per_chip", "value": None,
+                "unit": "edges/s", "vs_baseline": None,
+                "error": "TPU unavailable and no cached measurement",
+            }), flush=True)
+        os._exit(0)
+
+    t = threading.Thread(target=fire, daemon=True)
+    t.start()
 
 
 def main() -> None:
+    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "900")))
     import jax
     import jax.numpy as jnp
 
@@ -72,7 +102,7 @@ def main() -> None:
     edges = B * (N * (N - 1) // 2)
     edges_per_s = edges * STEPS / elapsed
     steps_per_s = STEPS / elapsed
-    print(json.dumps({
+    record = {
         "metric": "sampler_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
@@ -82,7 +112,13 @@ def main() -> None:
         "diffusion_steps": STEPS,
         "wall_s": round(elapsed, 3),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    try:
+        with open(CACHE, "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
