@@ -150,3 +150,26 @@ def test_train_scanned_matches_loop_quality(tmp_path):
     assert np.isfinite(scanned_final).all() and np.isfinite(loop_final).all()
     # same order of magnitude after the same number of epochs
     assert np.all(scanned_final < 5 * loop_final + 50)
+
+
+def test_resume_training_continues(tmp_path):
+    """load_checkpoint restores params+opt+EMA and training continues."""
+    import jax
+
+    from ccsd_tpu.training.trainer import Trainer
+
+    name = _make_dataset(tmp_path)
+    cfg = _config(tmp_path, name)
+    t1 = Trainer(cfg, log=False)
+    t1.train()
+    path = t1.save_checkpoint(suffix="_r")
+
+    t2 = Trainer(cfg, log=False)
+    before = jax.tree.leaves(t2.state.params["x"])[0]
+    t2.load_checkpoint(t1.ckpt_name + "_r")
+    after = jax.tree.leaves(t2.state.params["x"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # EMA counter restored (warmup continues, not restarted)
+    assert int(t2.state.emas["x"].num_updates) == int(t1.state.emas["x"].num_updates)
+    t2.train()  # continues without error
+    assert np.isfinite(np.asarray(t2.history["train"])).all()
