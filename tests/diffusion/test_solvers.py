@@ -173,3 +173,33 @@ def test_eval_array_batch():
     adj = adj + adj.transpose(0, 2, 1)
     res = eval_array_batch(adj, adj, methods=["degree", "spectral"])
     assert res["degree"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_s4_solver_cc():
+    spec = get_spec(N, D_MIN, D_MAX)
+    mx = load_model(dict(model_type="ScoreNetworkX", max_feat_num=F, depth=2,
+                         nhid=4, use_bn=False, is_cc=True))
+    mf = load_model(dict(model_type="ScoreNetworkF", num_layers_mlp=1,
+                         num_layers=2, num_linears=1, nhid=2, c_hid=2,
+                         c_final=2, cnum=2, max_node_num=N, d_min=D_MIN,
+                         d_max=D_MAX, use_hodge_mask=True, use_bn=False,
+                         is_cc=True))
+    ma = load_model(dict(model_type="ScoreNetworkA_CC", max_feat_num=F,
+                         max_node_num=N, d_min=D_MIN, d_max=D_MAX, nhid=4,
+                         nhid_h=2, num_layers=2, num_layers_h=1, num_linears=1,
+                         num_linears_h=1, c_init=2, c_hid=3, c_hid_h=2,
+                         c_final=2, c_final_h=2, adim=4, adim_h=2, num_heads=2,
+                         num_heads_h=2, conv="GCN", conv_hodge="HCN",
+                         use_bn=False, is_cc=True))
+    px, pa, pf = (mx.init(jax.random.PRNGKey(0)), ma.init(jax.random.PRNGKey(1)),
+                  mf.init(jax.random.PRNGKey(2)))
+    sde = VPSDE(N=4, beta_min=0.1, beta_max=1.0)
+    samp = get_s4_solver(sde, sde, (B, N, F), (B, N, N), snr=0.1,
+                         scale_eps=0.7, is_cc=True, sde_rank2=sde,
+                         shape_rank2=(B, spec.num_edges, spec.num_cells),
+                         spec=spec)
+    out = jax.jit(lambda fl, k: samp(
+        get_score_fn_cc(sde, mx, px), get_score_fn_cc(sde, ma, pa),
+        get_score_fn_cc(sde, mf, pf), fl, k))(_flags(), jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(out.rank2)).all()
+    assert np.isfinite(np.asarray(out.adj)).all()
