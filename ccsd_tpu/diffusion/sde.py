@@ -114,7 +114,7 @@ class VPSDE(SDE):
     # discrete tables, evaluated in closed form (reference: sde.py:364-368)
     def discrete_beta(self, i: jnp.ndarray) -> jnp.ndarray:
         lo, hi = self.beta_min / self.N, self.beta_max / self.N
-        step = (hi - lo) / (self.N - 1)
+        step = (hi - lo) / (self.N - 1) if self.N > 1 else 0.0
         return lo + i.astype(jnp.float32) * step
 
     def discrete_alpha(self, i: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +176,7 @@ class VESDE(SDE):
 
     def discrete_sigma(self, i: jnp.ndarray) -> jnp.ndarray:
         lo, hi = math.log(self.sigma_min), math.log(self.sigma_max)
-        step = (hi - lo) / (self.N - 1)
+        step = (hi - lo) / (self.N - 1) if self.N > 1 else 0.0
         return jnp.exp(lo + i.astype(jnp.float32) * step)
 
     def discretize(self, x, t):
@@ -235,7 +235,7 @@ class subVPSDE(SDE):
     # subVP shares VP's discrete-beta table for the corrector alpha
     def discrete_beta(self, i: jnp.ndarray) -> jnp.ndarray:
         lo, hi = self.beta_min / self.N, self.beta_max / self.N
-        step = (hi - lo) / (self.N - 1)
+        step = (hi - lo) / (self.N - 1) if self.N > 1 else 0.0
         return lo + i.astype(jnp.float32) * step
 
     def alpha_of_t(self, t: jnp.ndarray) -> jnp.ndarray:
