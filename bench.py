@@ -69,10 +69,13 @@ def main() -> None:
 
     mx = load_model(dict(model_type="ScoreNetworkX", max_feat_num=F, depth=3,
                          nhid=32, use_bn=False, is_cc=False))
+    # fused=True: channel-folded attention fast path — identical params and
+    # semantics (CPU parity ~1e-6, tests/models/test_fused_attention.py);
+    # measured 1.67x over the unrolled path on TPU v5e (DESIGN_NOTES.md).
     ma = load_model(dict(model_type="ScoreNetworkA", max_feat_num=F,
                          max_node_num=N, nhid=32, num_layers=5, num_linears=2,
                          c_init=2, c_hid=8, c_final=4, adim=32, num_heads=4,
-                         conv="GCN", use_bn=False, is_cc=False))
+                         conv="GCN", use_bn=False, is_cc=False, fused=True))
     px = mx.init(jax.random.PRNGKey(0))
     pa = ma.init(jax.random.PRNGKey(1))
     sde_x = VPSDE(N=STEPS, beta_min=0.1, beta_max=1.0)

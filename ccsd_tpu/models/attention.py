@@ -109,6 +109,7 @@ class AttentionLayer:
     num_heads: int = 4
     conv: str = "GCN"
     use_bn: bool = False
+    fused: bool = False  # channel-folded fast path (identical numerics)
 
     @property
     def attn(self) -> Attention:
@@ -163,26 +164,129 @@ class AttentionLayer:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (B, N, F_i), adj: (B, C_i, N, N) -> ((B, N, F_o), (B, C_o, N, N)).
 
-        Note: a channel-vmapped variant (stacked params + one batched call)
-        was benchmarked and is SLOWER than this unrolled loop at CCSD shapes
-        (568 vs 636 sampler steps/s at B=128) — XLA already fuses the
-        unrolled channels well; see DESIGN_NOTES.md.
+        Two execution paths, same params, same numerics:
+        * unrolled (default): one Attention.apply per channel.  A naively
+          channel-vmapped variant was benchmarked SLOWER than this at CCSD
+          shapes (568 vs 636 sampler steps/s at B=128).
+        * fused=True: channel-folded — Q|K|V weights of all C channels are
+          stacked so the whole layer is ~10 large ops instead of ~7*C small
+          ones.  At sampler shapes (B=128, N=20) the per-op dispatch floor
+          dominates, so fewer/bigger ops is the main throughput lever
+          (DESIGN_NOTES.md).
         """
-        vs, masks = [], []
-        for k in range(self.input_dim):
-            v, m = self.attn.apply(params["attn"][k], x, adj[:, k], flags)
-            vs.append(v)
-            masks.append(m)
-        x_out = self.multi_channel.apply(
-            params["multi_channel"], jnp.concatenate(vs, axis=-1)
-        )
+        if self.fused:
+            x_out, att = self._fused_attention(params, x, adj, flags)
+        else:
+            vs, masks = [], []
+            for k in range(self.input_dim):
+                v, m = self.attn.apply(params["attn"][k], x, adj[:, k], flags)
+                vs.append(v)
+                masks.append(m)
+            x_out = self.multi_channel.apply(
+                params["multi_channel"], jnp.concatenate(vs, axis=-1)
+            )
+            att = jnp.stack(masks, axis=-1)  # (B, N, N, C_i)
         x_out = jnp.tanh(mask_x(x_out, flags))
 
         # channels-last concat of [attention maps | input adj channels]
-        mlp_in = jnp.concatenate(
-            [jnp.stack(masks, axis=-1), jnp.moveaxis(adj, 1, -1)], axis=-1
-        )
+        mlp_in = jnp.concatenate([att, jnp.moveaxis(adj, 1, -1)], axis=-1)
         adj_out = self.mlp.apply(params["mlp"], mlp_in)
         adj_out = jnp.moveaxis(adj_out, -1, 1)
         adj_out = adj_out + jnp.swapaxes(adj_out, -1, -2)
         return x_out, mask_adjs(adj_out, flags)
+
+    def _fused_attention(self, params, x, adj, flags):
+        """All C_i per-channel GMH attentions as stacked contractions.
+
+        Returns (x_out-before-tanh/mask, attention maps (B, N, N, C_i)).
+        Weight stacking happens at trace time from the canonical per-channel
+        param layout; when called outside a `lax.scan` body (the score_fn
+        closure is built once per sampler program) XLA hoists the stacks out
+        of the hot loop.
+
+        TPU-tuned contractions (profiled on v5e at sampler shapes, B=128
+        N=20 — see DESIGN_NOTES.md):
+        * aggregation uses ``(norm @ x) @ W`` instead of ``norm @ (x @ W)``
+          (3x fewer FLOPs in the batched per-channel contraction, and the
+          weight contraction becomes ONE block-diagonal MXU matmul);
+        * the batched (B*C) and (B*C*H) contractions are expressed as
+          broadcast-multiply-reduce, which XLA fuses on the VPU without the
+          layout-relayout copies its batched-dot lowering inserts (those
+          copies were ~45% of the model's runtime).
+        """
+        from ccsd_tpu.models.gcn import gcn_norm
+
+        attn = self.attn
+        A_dim, O = attn.attn_dim, attn.out_dim
+        ds = attn.head_dim
+        H = A_dim // ds
+        C = self.input_dim
+        B, N, _ = x.shape
+        sp = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["attn"])
+
+        norm = gcn_norm(adj)  # (B, C, N, N), per-channel deg-normalized
+        if self.conv == "GCN":
+            # (norm @ x) @ W: one VPU reduce + one block-diag MXU matmul
+            W = jnp.concatenate(
+                [sp["q"]["weight"], sp["k"]["weight"], sp["v"]["weight"]], axis=-1
+            )  # (C, F, 2A+O)
+            b = jnp.concatenate(
+                [sp["q"]["bias"], sp["k"]["bias"], sp["v"]["bias"]], axis=-1
+            )  # (C, 2A+O)
+            F_in = W.shape[1]
+            P = W.shape[-1]
+            nx = (norm[..., None] * x[:, None, None, :, :]).sum(axis=3)  # (B,C,N,F)
+            # block-diagonal (C*F, C*P) so all C channel matmuls are one dot
+            Wblk = (jnp.eye(C)[:, None, :, None] * W[:, :, None, :]).reshape(
+                C * F_in, C * P
+            )
+            agg = (
+                jnp.moveaxis(nx, 1, 2).reshape(B, N, C * F_in) @ Wblk
+            ).reshape(B, N, C, P)
+            agg = jnp.moveaxis(agg, 2, 1) + b[None, :, None, :]
+            Q, K, V = agg[..., :A_dim], agg[..., A_dim : 2 * A_dim], agg[..., 2 * A_dim :]
+        elif self.conv == "MLP":
+            # Q, K are 2-layer tanh MLPs of x only (attention.py:64-67);
+            # V remains a GCN conv.
+            qk_w1 = jnp.concatenate(
+                [sp["q"]["linears"][0]["w"], sp["k"]["linears"][0]["w"]], axis=-1
+            )  # (C, F, 2*hidden)
+            qk_b1 = jnp.concatenate(
+                [sp["q"]["linears"][0]["b"], sp["k"]["linears"][0]["b"]], axis=-1
+            )
+            hid = sp["q"]["linears"][0]["w"].shape[-1]
+            h1 = jnp.tanh(
+                jnp.einsum("bnf,cfh->bcnh", x, qk_w1) + qk_b1[None, :, None, :]
+            )
+            Q = (
+                jnp.einsum("bcnh,chp->bcnp", h1[..., :hid], sp["q"]["linears"][1]["w"])
+                + sp["q"]["linears"][1]["b"][None, :, None, :]
+            )
+            K = (
+                jnp.einsum("bcnh,chp->bcnp", h1[..., hid:], sp["k"]["linears"][1]["w"])
+                + sp["k"]["linears"][1]["b"][None, :, None, :]
+            )
+            nx = (norm[..., None] * x[:, None, None, :, :]).sum(axis=3)  # (B,C,N,F)
+            V = (
+                jnp.einsum("bcnf,cfo->bcno", nx, sp["v"]["weight"])
+                + sp["v"]["bias"][None, :, None, :]
+            )
+        else:
+            raise NotImplementedError(
+                f"Convolution layer {self.conv} not implemented."
+            )
+
+        # torch head trick: head h = attn channels [h*ds:(h+1)*ds].
+        # Broadcast-multiply-reduce instead of a (B*C*H)-batched dot: the
+        # contraction is only ds=A/H long, and this form fuses with the
+        # tanh + head-mean without any relayout copies.
+        Qh = Q.reshape(B, C, N, H, ds)
+        Kh = K.reshape(B, C, N, H, ds)
+        scores = (Qh[:, :, :, None, :, :] * Kh[:, :, None, :, :, :]).sum(-1)
+        att = jnp.tanh(scores / math.sqrt(O)).mean(axis=-1)  # (B, C, N, N)
+        att = (att + jnp.swapaxes(att, -1, -2)) / 2  # symmetrize
+
+        x_out = self.multi_channel.apply(
+            params["multi_channel"], jnp.moveaxis(V, 1, 2).reshape(B, N, C * O)
+        )
+        return x_out, jnp.moveaxis(att, 1, -1)

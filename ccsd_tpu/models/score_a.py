@@ -103,22 +103,26 @@ class BaselineNetworkLayer:
 
 def _a_layers(cls, cfg) -> list:
     """Shared first/mid/last layer-stack construction (ScoreNetwork_A.py:404-448)."""
+    fused = getattr(cfg, "fused", False)
     out = []
     for k in range(cfg.num_layers):
         if k == 0:
             out.append(
                 cls(cfg.num_linears, cfg.max_feat_num, cfg.nhid, cfg.nhid,
-                    cfg.c_init, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn)
+                    cfg.c_init, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn,
+                    fused=fused)
             )
         elif k == cfg.num_layers - 1:
             out.append(
                 cls(cfg.num_linears, cfg.nhid, cfg.adim, cfg.nhid,
-                    cfg.c_hid, cfg.c_final, cfg.num_heads, cfg.conv, cfg.use_bn)
+                    cfg.c_hid, cfg.c_final, cfg.num_heads, cfg.conv, cfg.use_bn,
+                    fused=fused)
             )
         else:
             out.append(
                 cls(cfg.num_linears, cfg.nhid, cfg.adim, cfg.nhid,
-                    cfg.c_hid, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn)
+                    cfg.c_hid, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn,
+                    fused=fused)
             )
     return out
 
@@ -140,6 +144,7 @@ class ScoreNetworkA:
     conv: str = "GCN"
     use_bn: bool = False
     is_cc: bool = False
+    fused: bool = False  # channel-folded attention fast path (same params)
 
     @property
     def layers(self) -> list[AttentionLayer]:

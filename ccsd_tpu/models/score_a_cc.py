@@ -23,20 +23,24 @@ from ccsd_tpu.ops.masks import mask_adjs, pow_tensor
 
 
 def _graph_layers(cfg) -> list[AttentionLayer]:
+    fused = getattr(cfg, "fused", False)
     out = []
     for k in range(cfg.num_layers):
         if k == 0:
             out.append(AttentionLayer(
                 cfg.num_linears, cfg.max_feat_num, cfg.nhid, cfg.nhid,
-                cfg.c_init, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn))
+                cfg.c_init, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn,
+                fused=fused))
         elif k == cfg.num_layers - 1:
             out.append(AttentionLayer(
                 cfg.num_linears, cfg.nhid, cfg.adim, cfg.nhid,
-                cfg.c_hid, cfg.c_final, cfg.num_heads, cfg.conv, cfg.use_bn))
+                cfg.c_hid, cfg.c_final, cfg.num_heads, cfg.conv, cfg.use_bn,
+                fused=fused))
         else:
             out.append(AttentionLayer(
                 cfg.num_linears, cfg.nhid, cfg.adim, cfg.nhid,
-                cfg.c_hid, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn))
+                cfg.c_hid, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn,
+                fused=fused))
     return out
 
 
@@ -66,6 +70,7 @@ class ScoreNetworkA_CC:
     use_bn: bool = False
     is_cc: bool = True
     cells: tuple = None  # optional active-cell universe (tuple of node tuples)
+    fused: bool = False  # channel-folded attention fast path (same params)
 
     @property
     def spec(self):
@@ -173,6 +178,7 @@ class ScoreNetworkA_Base_CC:
     use_bn: bool = False
     is_cc: bool = True
     cells: tuple = None  # optional active-cell universe (tuple of node tuples)
+    fused: bool = False  # channel-folded attention fast path (same params)
 
     @property
     def spec(self):

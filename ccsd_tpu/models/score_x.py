@@ -78,6 +78,7 @@ class ScoreNetworkX_GMH:
     conv: str = "GCN"
     use_bn: bool = False
     is_cc: bool = False
+    fused: bool = False  # channel-folded attention fast path (same params)
 
     @property
     def layers(self) -> list[AttentionLayer]:
@@ -88,6 +89,7 @@ class ScoreNetworkX_GMH:
                     AttentionLayer(
                         self.num_linears, self.max_feat_num, self.nhid, self.nhid,
                         self.c_init, self.c_hid, self.num_heads, self.conv, self.use_bn,
+                        fused=self.fused,
                     )
                 )
             elif k == self.depth - 1:
@@ -95,6 +97,7 @@ class ScoreNetworkX_GMH:
                     AttentionLayer(
                         self.num_linears, self.nhid, self.adim, self.nhid,
                         self.c_hid, self.c_final, self.num_heads, self.conv, self.use_bn,
+                        fused=self.fused,
                     )
                 )
             else:
@@ -102,6 +105,7 @@ class ScoreNetworkX_GMH:
                     AttentionLayer(
                         self.num_linears, self.nhid, self.adim, self.nhid,
                         self.c_hid, self.c_hid, self.num_heads, self.conv, self.use_bn,
+                        fused=self.fused,
                     )
                 )
         return out
