@@ -72,6 +72,28 @@ def test_score_network_x_gmh_fused():
     assert jnp.abs(s0 - s1).max() < 1e-4
 
 
+@pytest.mark.parametrize("num_layers_mlp", [1, 3])
+def test_score_network_f_fused(num_layers_mlp):
+    from ccsd_tpu.ops.cells import get_spec
+    cfg = dict(model_type="ScoreNetworkF", num_layers_mlp=num_layers_mlp,
+               num_layers=2, num_linears=1, nhid=4, c_hid=2, c_final=2,
+               cnum=2, max_node_num=8, d_min=3, d_max=3, use_hodge_mask=True,
+               use_bn=False, is_cc=True)
+    m0 = load_model(cfg)
+    m1 = load_model({**cfg, "fused": True})
+    spec = get_spec(8, 3, 3)
+    params = m0.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((B, 8, 5))
+    adj = jnp.zeros((B, 8, 8))
+    rank2 = jax.random.normal(
+        jax.random.PRNGKey(1), (B, spec.num_edges, spec.num_cells)
+    )
+    flags = jnp.ones((B, 8)).at[0, -2:].set(0.0)
+    s0 = m0.apply(params, x, adj, rank2, flags=flags)
+    s1 = m1.apply(params, x, adj, rank2, flags=flags)
+    assert jnp.abs(s0 - s1).max() < 5e-4
+
+
 def test_score_network_a_cc_fused():
     cfg = dict(model_type="ScoreNetworkA_CC", max_feat_num=F, max_node_num=8,
                d_min=3, d_max=3, nhid=8, nhid_h=4, num_layers=2,
