@@ -209,3 +209,74 @@ def get_sde_loss_fn_cc(
         return lx.mean(), la.mean(), lr.mean()
 
     return loss_fn
+
+
+def get_score_fn_rank2_dynamic(sde: SDE, model, params, dyn) -> Callable:
+    """Stage-2 score for the two-stage (open-universe) sampler.
+
+    The F-model conditions on the generated adjacency only through the
+    per-sample candidate universe ``dyn`` (diffusion/two_stage.py); the
+    returned closure has signature ``(rank2, flags, t) -> score``.
+    """
+    if is_vp_like(sde):
+
+        def score_fn(rank2, flags, t):
+            out = model.apply(
+                params, None, None, rank2, flags=flags,
+                dyn=(dyn.member, dyn.valid),
+            )
+            return -out / _bcast(sde.marginal_std(t), out)
+
+    elif isinstance(sde, VESDE):
+
+        def score_fn(rank2, flags, t):
+            return model.apply(
+                params, None, None, rank2, flags=flags,
+                dyn=(dyn.member, dyn.valid),
+            )
+
+    else:
+        raise NotImplementedError(f"SDE class {type(sde).__name__} not supported.")
+    return score_fn
+
+
+def get_rank2_dynamic_loss_fn(
+    sde_rank2: SDE,
+    model_rank2,
+    spec: ComplexSpec,
+    reduce_mean: bool = False,
+    eps: float = 1e-5,
+):
+    """DSM loss for F alone over per-sample candidate universes.
+
+    Trains the stage-2 model of the two-stage factorization: each training
+    sample's universe is derived from ITS OWN adjacency (the same bridge
+    used at sampling time), and the clean F restricted to those columns is
+    the target.  Returns ``loss_fn(params, rank2, flags, member, valid, key)
+    -> loss`` (same reduce semantics as losses.py:229-233).
+    """
+    from ccsd_tpu.ops.masks import gen_noise_rank2_dynamic, mask_rank2_dynamic
+
+    def loss_fn(params, rank2, flags, member, valid, key):
+        k_t, k_z = jax.random.split(key)
+        t = (
+            jax.random.uniform(k_t, (rank2.shape[0],), dtype=rank2.dtype)
+            * (sde_rank2.T - eps)
+            + eps
+        )
+        z = gen_noise_rank2_dynamic(k_z, rank2, spec, member, valid, flags)
+        mean, std = sde_rank2.marginal_prob(rank2, t)
+        perturbed = mask_rank2_dynamic(
+            mean + _bcast(std, rank2) * z, spec, member, valid, flags
+        )
+        out = model_rank2.apply(
+            params, None, None, perturbed, flags=flags, dyn=(member, valid)
+        )
+        if is_vp_like(sde_rank2):
+            score = -out / _bcast(std, out)
+        else:
+            score = out
+        losses = jnp.square(score * _bcast(std, score) + z)
+        return _reduce(losses, reduce_mean).mean()
+
+    return loss_fn

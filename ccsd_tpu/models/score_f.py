@@ -75,8 +75,13 @@ class ScoreNetworkF:
         adj: jnp.ndarray,
         rank2: jnp.ndarray,
         flags: Optional[jnp.ndarray] = None,
+        dyn: Optional[tuple] = None,
     ) -> jnp.ndarray:
         del x, adj  # F-score depends on the rank-2 tensor only
+        if dyn is not None:
+            # per-sample candidate-cell universe (two-stage open-universe
+            # sampling) — only supported through the fused slab path
+            return self._apply_fused(params, rank2, flags, dyn)
         if self.fused:
             return self._apply_fused(params, rank2, flags)
         hodge_mask = (
@@ -96,7 +101,7 @@ class ScoreNetworkF:
         # (ScoreNetwork_F.py:142, 211-212)
         return mask_rank2(score, self.spec, flags)
 
-    def _apply_fused(self, params, rank2, flags):
+    def _apply_fused(self, params, rank2, flags, dyn=None):
         """Slab-unrolled fast path: identical math, radically less HBM traffic.
 
         The default path materializes (B, C, E, K) channel tensors and
@@ -111,8 +116,14 @@ class ScoreNetworkF:
         """
         from ccsd_tpu.models.nn import ACT
         from ccsd_tpu.ops.hodge import hodge_laplacian
+        from ccsd_tpu.ops.masks import mask_rank2_dynamic
 
         spec = self.spec
+        if dyn is not None:
+            member, valid = dyn
+            mask = lambda s: mask_rank2_dynamic(s, spec, member, valid, flags)
+        else:
+            mask = lambda s: mask_rank2(s, spec, flags)
 
         def linear_slabs(lin_params, slabs):
             w, b = lin_params["w"], lin_params["b"]
@@ -145,8 +156,8 @@ class ScoreNetworkF:
         h = slabs
         for layer, p in zip(self.layers, params["layers"]):
             h = mlp_slabs(layer.layer, p["layer"], h)
-            h = [mask_rank2(s, spec, flags) for s in h]
+            h = [mask(s) for s in h]
             rank2_list.extend(h)
 
         score = mlp_slabs(self.final, params["final"], rank2_list)[0]
-        return mask_rank2(score, spec, flags)
+        return mask(score)

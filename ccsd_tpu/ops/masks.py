@@ -167,6 +167,57 @@ def gen_noise_rank2(
     return mask_rank2(z, spec, flags)
 
 
+def cell_flags_dynamic(
+    member: jnp.ndarray, valid: jnp.ndarray, flags: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, K) flags for a PER-SAMPLE cell universe.
+
+    member: (B, K, N) 0/1 cell membership; valid: (B, K) 0/1 slot validity
+    (padding columns are 0).  A cell is alive iff the slot is valid and all
+    member nodes are present.  This is the open-universe generalization of
+    :func:`cell_flags` — no reference counterpart (the reference universe is
+    global and static, SURVEY.md §2.6).
+    """
+    missing = jnp.einsum("bn,bkn->bk", 1.0 - flags, member)
+    return (missing < 0.5).astype(flags.dtype) * valid
+
+
+def mask_rank2_dynamic(
+    rank2: jnp.ndarray,
+    spec: ComplexSpec,
+    member: jnp.ndarray,
+    valid: jnp.ndarray,
+    flags: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Mask (B, E, K) / (B, C, E, K) rank-2 tensors over a per-sample
+    candidate-cell universe (edge rows still come from the static spec)."""
+    if flags is None:
+        fl = jnp.ones_like(rank2[..., :, 0])
+        fr = valid
+        if rank2.ndim == 4:
+            fr = fr[:, None, :]
+        return rank2 * fr[..., None, :]
+    fl = edge_flags(spec, flags)
+    fr = cell_flags_dynamic(member, valid, flags)
+    if rank2.ndim == 4:
+        fl = fl[:, None, :]
+        fr = fr[:, None, :]
+    return rank2 * fl[..., :, None] * fr[..., None, :]
+
+
+def gen_noise_rank2_dynamic(
+    key: jax.Array,
+    x: jnp.ndarray,
+    spec: ComplexSpec,
+    member: jnp.ndarray,
+    valid: jnp.ndarray,
+    flags: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Masked Gaussian noise on a dynamically-masked rank-2 tensor."""
+    z = jax.random.normal(key, x.shape, dtype=x.dtype)
+    return mask_rank2_dynamic(z, spec, member, valid, flags)
+
+
 def mask_hodge_adjs(
     hodge_adjs: jnp.ndarray, spec: ComplexSpec, flags: Optional[jnp.ndarray]
 ) -> jnp.ndarray:
