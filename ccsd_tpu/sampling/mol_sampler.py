@@ -28,7 +28,7 @@ from ccsd_tpu.data.mol_utils import (
 )
 from ccsd_tpu.diffusion.losses import get_score_fn, get_score_fn_cc
 from ccsd_tpu.diffusion.sde import load_sde
-from ccsd_tpu.models.registry import load_model
+from ccsd_tpu.models.registry import load_model, with_fused
 from ccsd_tpu.ops.masks import quantize_mol
 from ccsd_tpu.sampling.sampler import Sampler, load_sampling_fn
 from ccsd_tpu.utils.logger import Logger
@@ -50,6 +50,7 @@ class MolSampler(Sampler):
         dataset = str(cfg.data.data)
         t_start = time.perf_counter()
         configt, defs, params = self._load_checkpoint()
+        defs = with_fused(defs, bool(cfg.sample.get("fused", True)))
         models = {n: load_model(d) for n, d in defs.items()}
 
         train_smiles, test_smiles = load_smiles(

@@ -25,7 +25,7 @@ from ccsd_tpu.data.loader import load_data
 from ccsd_tpu.diffusion.losses import get_score_fn, get_score_fn_cc
 from ccsd_tpu.diffusion.sde import load_sde
 from ccsd_tpu.diffusion.solvers import get_pc_sampler, get_s4_solver
-from ccsd_tpu.models.registry import load_model
+from ccsd_tpu.models.registry import load_model, with_fused
 from ccsd_tpu.ops.cells import get_spec
 from ccsd_tpu.ops.masks import quantize
 from ccsd_tpu.training.checkpoint import (
@@ -129,6 +129,9 @@ class Sampler:
         cfg = self.config
         t_start = time.perf_counter()
         configt, defs, params = self._load_checkpoint()
+        # fused fast path by default at inference (same weights; opt out
+        # with sample.fused: false)
+        defs = with_fused(defs, bool(cfg.sample.get("fused", True)))
         models = {n: load_model(d) for n, d in defs.items()}
         spec = models["rank2"].spec if self.is_cc else None
 
