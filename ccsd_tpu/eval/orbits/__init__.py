@@ -30,9 +30,9 @@ _lib_failed = False
 
 def _build_lib() -> Optional[ctypes.CDLL]:
     global _lib_failed
-    if not os.path.exists(_LIB_PATH) or (
-        os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
-    ):
+    _table = os.path.join(_HERE, "orbit5_table.inc")
+    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_table))
+    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
         try:
             with tempfile.NamedTemporaryFile(
                 suffix=".so", dir=_HERE, delete=False
@@ -56,6 +56,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
     ]
     lib.count_orbits.restype = None
+    lib.count_orbits5.argtypes = lib.count_orbits.argtypes
+    lib.count_orbits5.restype = None
     return lib
 
 
@@ -66,8 +68,16 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def orbit_counts(G: nx.Graph) -> np.ndarray:
-    """Per-node 15-orbit counts, (n, 15) int64, node order = G.nodes() order."""
+def orbit_counts(G: nx.Graph, graphlet_size: int = 4) -> np.ndarray:
+    """Per-node graphlet-orbit counts, node order = G.nodes() order.
+
+    graphlet_size=4 -> (n, 15) orbits 0-14 (the reference's "orca node 4"
+    protocol, stats.py:343-379); graphlet_size=5 -> (n, 73) orbits 0-72
+    (the "node 5" mode the reference's vendored ORCA supports but never
+    invokes).
+    """
+    if graphlet_size not in (4, 5):
+        raise ValueError("graphlet_size must be 4 or 5")
     nodes = list(G.nodes())
     idx = {u: i for i, u in enumerate(nodes)}
     n = len(nodes)
@@ -77,9 +87,16 @@ def orbit_counts(G: nx.Graph) -> np.ndarray:
     ev = np.array([e[1] for e in edges], np.int32)
     lib = _get_lib()
     if lib is not None:
-        out = np.zeros((n, 15), np.int64)
-        lib.count_orbits(n, m, eu, ev, out.reshape(-1))
+        width = 73 if graphlet_size == 5 else 15
+        out = np.zeros((n, width), np.int64)
+        fn = lib.count_orbits5 if graphlet_size == 5 else lib.count_orbits
+        fn(n, m, eu, ev, out.reshape(-1))
         return out
+    if graphlet_size == 5:
+        raise RuntimeError(
+            "native graphlet_orbits library unavailable; the pure-Python "
+            "fallback only implements graphlet_size=4"
+        )
     return orbit_counts_py(n, edges)
 
 

@@ -107,3 +107,60 @@ def test_matches_reference_orca_if_present():
     )
     ours = _native(G)
     np.testing.assert_array_equal(ours, ref)
+
+
+# ----------------------------------------------------- 5-node orbit mode ----
+
+def test_orbit5_petersen_golden():
+    """Golden counts generated from the reference ORCA binary ("node 5"),
+    which our counter matches exactly (verified on random G(n,p) graphs);
+    the Petersen graph is vertex-transitive so every row is identical."""
+    import networkx as nx
+    import numpy as np
+    from ccsd_tpu.eval.orbits import orbit_counts
+
+    g = nx.petersen_graph()
+    c = orbit_counts(g, graphlet_size=5)
+    assert c.shape == (10, 73)
+    assert (c == c[0]).all()
+    expected = np.zeros(73, np.int64)
+    for o, v in {0: 3, 1: 6, 2: 3, 4: 12, 5: 12, 6: 3, 7: 1, 15: 12,
+                 16: 12, 17: 6, 18: 6, 19: 12, 20: 6, 21: 6, 34: 6}.items():
+        expected[o] = v
+    np.testing.assert_array_equal(c[0], expected)
+
+
+def test_orbit5_bull_pendant_golden():
+    import networkx as nx
+    import numpy as np
+    from ccsd_tpu.eval.orbits import orbit_counts
+
+    g = nx.bull_graph()
+    g.add_edge(4, 5)
+    c = orbit_counts(g, graphlet_size=5)
+    expected = {
+        0: {0: 2, 1: 2, 3: 1, 4: 1, 10: 2, 25: 1, 29: 1},
+        1: {0: 3, 1: 1, 2: 2, 3: 1, 4: 1, 5: 1, 10: 1, 11: 1, 16: 1,
+            26: 1, 29: 1},
+        2: {0: 3, 1: 2, 2: 2, 3: 1, 5: 3, 10: 1, 11: 1, 17: 1, 26: 1,
+            30: 1},
+        3: {0: 1, 1: 2, 4: 1, 9: 1, 15: 1, 24: 1},
+        4: {0: 2, 1: 2, 2: 1, 4: 1, 5: 2, 9: 1, 16: 1, 24: 1, 28: 1},
+        5: {0: 1, 1: 1, 4: 2, 15: 1, 27: 1},
+    }
+    for v, orbs in expected.items():
+        row = np.zeros(73, np.int64)
+        for o, n in orbs.items():
+            row[o] = n
+        np.testing.assert_array_equal(c[v], row)
+
+
+def test_orbit5_consistent_with_orbit4():
+    import networkx as nx
+    import numpy as np
+    from ccsd_tpu.eval.orbits import orbit_counts
+
+    g = nx.gnp_random_graph(18, 0.3, seed=11)
+    np.testing.assert_array_equal(
+        orbit_counts(g, 4), orbit_counts(g, 5)[:, :15]
+    )
