@@ -15,6 +15,7 @@ re-designed for TPU:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
@@ -243,8 +244,14 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed)
         history = {"train": [], "test": []}
         t_start = time.perf_counter()
+        # optional device profiling (train.profile_dir): captures an xplane
+        # trace of epoch 2 (epoch 1 includes compilation) for xprof /
+        # tensorboard.  No reference counterpart (SURVEY.md §5.1).
+        profile_dir = tc.get("profile_dir")
 
         for epoch in range(tc.num_epochs):
+            if profile_dir and epoch == 1:
+                jax.profiler.start_trace(str(profile_dir))
             train_losses = []
             t0 = time.perf_counter()
             for batch in self.train_loader:
@@ -263,6 +270,11 @@ class Trainer:
                 batch = shard_batch(self.mesh, *batch)
                 key, sub = jax.random.split(key)
                 test_losses.append(self._eval_step(self.state.emas, batch, sub))
+
+            if profile_dir and epoch == 1:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                self.logger.log(f"profiler trace written to {profile_dir}")
 
             mean_train = np.mean(np.asarray(train_losses), axis=0)
             mean_test = np.mean(np.asarray(test_losses), axis=0)
@@ -315,12 +327,34 @@ class Trainer:
         """Resume training state (params + optimizer + EMA) from a checkpoint.
 
         Capability upgrade over the reference, which stores no optimizer
-        state and cannot resume (trainer.py:258-283).
+        state and cannot resume (trainer.py:258-283).  Reads either format
+        (pickle or orbax), preferring whichever exists.
         """
         from ccsd_tpu.parallel.mesh import replicate_tree
         from ccsd_tpu.training.checkpoint import ckpt_path as _cp, load_ckpt_file
 
-        path = _cp(self.config.get("folder", "./"), str(self.config.data.data), name)
+        folder = self.config.get("folder", "./")
+        dataset = str(self.config.data.data)
+        path = _cp(folder, dataset, name)
+        if not os.path.exists(path):
+            from ccsd_tpu.training.orbax_ckpt import orbax_dir, restore_orbax
+
+            opath = orbax_dir(folder, dataset, name)
+            if os.path.isdir(opath):
+                target = {}
+                for n in self.names:
+                    target[f"{n}_params"] = self.state.params[n]
+                    target[f"{n}_opt_state"] = self.state.opt_states[n]
+                    target[f"ema_{n}"] = self.state.emas[n]
+                ckpt = restore_orbax(opath, target=target)
+                for n in self.names:
+                    self.state.params[n] = replicate_tree(
+                        self.mesh, ckpt[f"{n}_params"]
+                    )
+                    self.state.opt_states[n] = ckpt[f"{n}_opt_state"]
+                    self.state.emas[n] = ckpt[f"ema_{n}"]
+                self.logger.log(f"Resumed training state from {opath} (orbax)")
+                return
         ckpt = load_ckpt_file(path)
         for n in self.names:
             self.state.params[n] = replicate_tree(self.mesh, ckpt[f"{n}_params"])
@@ -339,6 +373,14 @@ class Trainer:
             payload[f"{name}_params"] = self.state.params[name]
             payload[f"{name}_opt_state"] = self.state.opt_states[name]
             payload[f"ema_{name}"] = self.state.emas[name]
+        if str(cfg.train.get("ckpt_format", "pickle")) == "orbax":
+            from ccsd_tpu.training.orbax_ckpt import orbax_dir, save_orbax
+
+            return save_orbax(
+                orbax_dir(cfg.get("folder", "./"), str(cfg.data.data),
+                          f"{self.ckpt_name}{suffix}"),
+                payload,
+            )
         path = ckpt_path(
             cfg.get("folder", "./"), str(cfg.data.data),
             f"{self.ckpt_name}{suffix}",
