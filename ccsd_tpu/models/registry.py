@@ -50,6 +50,32 @@ def with_fused(defs: Dict[str, Dict[str, Any]], enable: bool = True):
     return out
 
 
+class RematModel:
+    """Wrap a score model so its forward is rematerialized under grad.
+
+    `jax.checkpoint` drops the layer activations after the forward pass and
+    recomputes them during the backward pass — trading FLOPs for HBM, which
+    is what makes large-E Hodge configs (grid_small_CC: E=1176, E x E
+    attention maps per channel per layer) trainable within chip memory.
+    Enable with ``train.remat: true``.  No reference counterpart (the
+    reference has no activation checkpointing).
+    """
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def apply(self, params, x, adj, rank2=None, flags=None, **kw):
+        def fwd(params, x, adj, rank2, flags):
+            return self._inner.apply(params, x, adj, rank2, flags=flags, **kw)
+
+        import jax
+
+        return jax.checkpoint(fwd)(params, x, adj, rank2, flags)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def load_model(params: Dict[str, Any]):
     """Instantiate a model definition from a params dict with 'model_type'."""
     params_ = dict(params)

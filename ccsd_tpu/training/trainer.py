@@ -85,6 +85,12 @@ class Trainer:
         self.models = {
             name: load_model(pd) for name, pd in zip(self.names, params_defs)
         }
+        if config.train.get("remat"):
+            # rematerialize forwards under grad: trades FLOPs for HBM, the
+            # lever for large-E Hodge configs (e.g. grid_small_CC E=1176)
+            from ccsd_tpu.models.registry import RematModel
+
+            self.models = {n: RematModel(m) for n, m in self.models.items()}
         self.model_param_defs = dict(zip(self.names, params_defs))
 
         # sdes + loss
