@@ -139,6 +139,13 @@ def load_model_params(config, is_cc: bool = False) -> Tuple[Dict[str, Any], ...]
         "conv": cm.conv,
         "use_bn": cm.use_bn,
     }
+    # optional model.fused: channel-folded fast path at TRAIN time too
+    # (sampling enables it by default regardless — with_fused above)
+    if cm.get("fused"):
+        for pd in (params_x, params_adj):
+            if pd["model_type"] in FUSED_CAPABLE:
+                pd["fused"] = True
+
     if not is_cc:
         return params_x, params_adj
 
@@ -172,4 +179,6 @@ def load_model_params(config, is_cc: bool = False) -> Tuple[Dict[str, Any], ...]
         "use_hodge_mask": cm.use_hodge_mask,
         "use_bn": cm.use_bn,
     }
+    if cm.get("fused") and params_rank2["model_type"] in FUSED_CAPABLE:
+        params_rank2["fused"] = True
     return params_x, params_adj, params_rank2
