@@ -51,10 +51,13 @@ class DynamicCells:
 
     member: (B, K_max, N) float32 0/1 — slot k of sample b contains node n.
     valid:  (B, K_max) float32 0/1 — slot is a real candidate (not padding).
+    cell_lists: optional per-sample tuples of node tuples (slot order) —
+    host-side metadata used to decode generated incidences back into CCs.
     """
 
     member: jnp.ndarray
     valid: jnp.ndarray
+    cell_lists: Optional[tuple] = None
 
     @property
     def k_max(self) -> int:
@@ -133,16 +136,74 @@ def dynamic_cells_from_adjs(
                 g, d_min, d_max, lifting_procedure, **lift_kwargs
             )
         )
+    return _pack_cells(per_sample, N, k_max)
+
+
+def _pack_cells(
+    per_sample: List[List[Tuple[int, ...]]], N: int, k_max: Optional[int]
+) -> DynamicCells:
+    B = len(per_sample)
     K = max(max((len(c) for c in per_sample), default=1), 1)
     if k_max is not None:
         K = max(1, min(K, k_max))
     member = np.zeros((B, K, N), dtype=np.float32)
     valid = np.zeros((B, K), dtype=np.float32)
+    kept = []
     for b, cells in enumerate(per_sample):
+        kept.append(tuple(cells[:K]))
         for j, cell in enumerate(cells[:K]):
             member[b, j, list(cell)] = 1.0
             valid[b, j] = 1.0
-    return DynamicCells(member=jnp.asarray(member), valid=jnp.asarray(valid))
+    return DynamicCells(
+        member=jnp.asarray(member), valid=jnp.asarray(valid),
+        cell_lists=tuple(kept),
+    )
+
+
+def dynamic_batch_from_ccs(
+    ccs,
+    spec: ComplexSpec,
+    d_min: int,
+    d_max: int,
+    k_max: Optional[int] = None,
+    lifting_procedure: str = "cycles",
+    **lift_kwargs,
+) -> Tuple[jnp.ndarray, DynamicCells]:
+    """Training batch for the stage-2 model from a CC dataset.
+
+    For each CC: universe = candidate cells enumerated from ITS OWN graph
+    adjacency (the exact bridge used at sampling time); target F = 1 on the
+    edges of candidates that are ACTUAL rank-2 cells of the CC, 0 for
+    candidate-but-absent cells.
+    Returns (adjs (B, N, N), rank2_target (B, E, K_max), dyn).
+    """
+    N = spec.N
+    adjs = np.zeros((len(ccs), N, N), np.float32)
+    actual: List[set] = []
+    for b, cc in enumerate(ccs):
+        for e in cc.cells.hyperedge_dict.get(1, {}):
+            u, v = tuple(e)
+            adjs[b, u, v] = adjs[b, v, u] = 1.0
+        actual.append({
+            tuple(sorted(c)) for c in cc.cells.hyperedge_dict.get(2, {})
+        })
+    per_sample = []
+    for b in range(len(ccs)):
+        g = nx.from_numpy_array(adjs[b])
+        g.remove_nodes_from(list(nx.isolates(g)))
+        per_sample.append(candidate_cells_from_graph(
+            g, d_min, d_max, lifting_procedure, **lift_kwargs
+        ))
+    dyn = _pack_cells(per_sample, N, k_max)
+    # zero the valid-but-absent columns of the all-candidates incidence
+    F_all = incidence_from_dynamic(jnp.asarray(adjs), spec, dyn)
+    present = np.zeros(dyn.valid.shape, np.float32)
+    for b, cells in enumerate(dyn.cell_lists):
+        for j, cell in enumerate(cells):
+            if cell in actual[b]:
+                present[b, j] = 1.0
+    rank2 = F_all * jnp.asarray(present)[:, None, :]
+    return jnp.asarray(adjs), rank2, dyn
 
 
 def incidence_from_dynamic(
@@ -164,6 +225,42 @@ def incidence_from_dynamic(
         * jnp.swapaxes(in_cell, 1, 2)
         * dyn.valid[:, None, :]
     )
+
+
+def ccs_from_two_stage(
+    x: np.ndarray,
+    adj_q: np.ndarray,
+    rank2_q: np.ndarray,
+    dyn: DynamicCells,
+    spec: ComplexSpec,
+):
+    """Decode generated (x, A, F-over-candidates) into CombinatorialComplexes.
+
+    Per-sample analogue of cc_from_incidence (cc_utils.py:156-265): rank-2
+    columns are looked up in the sample's own candidate list.
+    """
+    from ccsd_tpu.data.complex import CombinatorialComplex
+
+    assert dyn.cell_lists is not None, "bridge must keep cell_lists"
+    u, v = np.asarray(spec.edge_u), np.asarray(spec.edge_v)
+    out = []
+    for b in range(adj_q.shape[0]):
+        cc = CombinatorialComplex()
+        A = np.asarray(adj_q[b])
+        # rank-0 cells for the contiguous active prefix (samplers mask the
+        # node suffix, so ids 0..n_max-1 keep the eval codecs' convention
+        # of contiguous node numbering)
+        active = np.nonzero(A.any(axis=0))[0]
+        n_max = int(active[-1]) + 1 if active.size else 0
+        for n in range(n_max):
+            cc.add_cell((n,), rank=0, weight=1)
+        for i in np.nonzero(A[u, v])[0]:
+            cc.add_cell((int(u[i]), int(v[i])), rank=1, weight=1)
+        for j, cell in enumerate(dyn.cell_lists[b]):
+            if np.asarray(rank2_q[b, :, j]).any():
+                cc.add_cell(tuple(int(n) for n in cell), rank=2, weight=1)
+        out.append(cc)
+    return out
 
 
 # --------------------------------------------------------- stage-2 sampler --

@@ -256,7 +256,12 @@ class Sampler:
 
 
 def get_sampler_from_config(config, **kwargs):
-    """Factory: 4-way dispatch.  Parity: sampler.py:1480-1503."""
+    """Factory: 4-way dispatch (parity: sampler.py:1480-1503) plus the
+    two-stage open-universe sampler (sample.two_stage, new design)."""
+    if config.sample.get("two_stage"):
+        from ccsd_tpu.sampling.two_stage_sampler import TwoStageSampler
+
+        return TwoStageSampler(config, **kwargs)
     is_molecular = str(config.data.data) in ("QM9", "ZINC250k")
     if is_molecular:
         from ccsd_tpu.sampling.mol_sampler import MolSampler

@@ -1,0 +1,156 @@
+"""Sampling orchestration for the two-stage open-universe pipeline.
+
+Loads a TwoStageTrainer checkpoint (graph X/A models + dynamic-universe F
+model), generates (X, A) with the scanned graph PC sampler, bridges each
+generated adjacency to its candidate-cell universe, reverse-diffuses F over
+those columns, decodes CombinatorialComplexes, and evaluates graph-MMD +
+CC-MMD exactly like the joint Sampler.  Select with
+``sample.two_stage: true`` (get_sampler_from_config dispatches here).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ccsd_tpu.data.cc_codec import convert_CC_to_graphs
+from ccsd_tpu.data.loader import init_flags as sample_init_flags
+from ccsd_tpu.data.loader import load_data
+from ccsd_tpu.diffusion.losses import get_score_fn
+from ccsd_tpu.diffusion.sde import load_sde
+from ccsd_tpu.diffusion.solvers import get_pc_sampler
+from ccsd_tpu.diffusion.two_stage import (
+    ccs_from_two_stage,
+    dynamic_cells_from_adjs,
+    get_rank2_sampler,
+)
+from ccsd_tpu.models.registry import load_model, with_fused
+from ccsd_tpu.ops.cells import get_spec
+from ccsd_tpu.ops.masks import quantize
+from ccsd_tpu.training.checkpoint import ckpt_path, load_ckpt_file
+from ccsd_tpu.training.ema import ema_copy_to
+from ccsd_tpu.utils.config import AttrDict
+from ccsd_tpu.utils.logger import Logger
+
+
+class TwoStageSampler:
+    def __init__(self, config, log: bool = True):
+        self.config = config
+        self.logger = Logger(verbose=log)
+
+    def sample(self) -> Dict[str, Any]:
+        cfg = self.config
+        t_start = time.perf_counter()
+        folder = cfg.get("folder", "./")
+        path = ckpt_path(folder, str(cfg.data.data), str(cfg.ckpt))
+        ckpt = load_ckpt_file(path)
+        assert ckpt.get("two_stage"), f"{path} is not a two-stage checkpoint"
+        configt = AttrDict(ckpt["model_config"])
+        use_ema = bool(cfg.sample.use_ema)
+        params = {}
+        for n in ("x", "adj", "rank2"):
+            if use_ema:
+                ema = ckpt[f"ema_{n}"]
+                params[n] = ema.shadow_params if hasattr(
+                    ema, "shadow_params") else ema_copy_to(ema)
+            else:
+                params[n] = ckpt[f"{n}_params"]
+        defs = with_fused(
+            {n: ckpt[f"params_{n}"] for n in ("x", "adj", "rank2")},
+            bool(cfg.sample.get("fused", True)),
+        )
+        models = {n: load_model(d) for n, d in defs.items()}
+
+        dc = configt.data
+        spec = get_spec(dc.max_node_num, dc.d_min, dc.d_max)
+        train_objs, test_objs = load_data(configt, get_list=True, is_cc=True)
+        batch_size = int(dc.batch_size)
+        n_rounds = max(1, math.ceil(len(test_objs) / batch_size))
+
+        sdes = {n: load_sde(configt.sde[n]) for n in ("x", "adj", "rank2")}
+        sm = cfg.sampler
+        graph_sampler = get_pc_sampler(
+            sdes["x"], sdes["adj"],
+            (batch_size, dc.max_node_num, dc.max_feat_num),
+            (batch_size, dc.max_node_num, dc.max_node_num),
+            predictor=sm.predictor, corrector=sm.corrector, snr=sm.snr,
+            scale_eps=sm.scale_eps, n_steps=sm.n_steps,
+            probability_flow=cfg.sample.probability_flow,
+            denoise=cfg.sample.noise_removal, eps=cfg.sample.eps,
+        )
+        rank2_sampler = get_rank2_sampler(
+            sdes["rank2"], spec, predictor=sm.predictor,
+            corrector=sm.corrector, snr=sm.snr, scale_eps=sm.scale_eps,
+            n_steps=sm.n_steps,
+            probability_flow=cfg.sample.probability_flow,
+            denoise=cfg.sample.noise_removal, eps=cfg.sample.eps,
+        )
+        sfx = get_score_fn(sdes["x"], models["x"], params["x"])
+        sfa = get_score_fn(sdes["adj"], models["adj"], params["adj"])
+        graph_jit = jax.jit(lambda fl, k: graph_sampler(sfx, sfa, fl, k))
+
+        seed = int(cfg.sample.get("seed", 42))
+        key = jax.random.PRNGKey(seed)
+        rng = np.random.default_rng(seed)
+        lift = dc.get("lifting_procedure", "cycles")
+        lift_kwargs = {}
+        if lift == "path_based":
+            lift_kwargs["path_length"] = dc.get("path_length", dc.d_max)
+
+        gen_ccs: List = []
+        for _ in range(n_rounds):
+            key, k1, k2 = jax.random.split(key, 3)
+            flags = jnp.asarray(sample_init_flags(
+                train_objs, configt, batch_size, is_cc=True, rng=rng
+            ))
+            out = graph_jit(flags, k1)
+            adj_q = quantize(out.adj)
+            dyn = dynamic_cells_from_adjs(
+                np.asarray(adj_q), dc.d_min, dc.d_max,
+                ckpt.get("k_max"), lift, **lift_kwargs,
+            )
+            from ccsd_tpu.diffusion.losses import get_score_fn_rank2_dynamic
+
+            sff = get_score_fn_rank2_dynamic(
+                sdes["rank2"], models["rank2"], params["rank2"], dyn
+            )
+            rank2 = rank2_sampler(
+                sff, dyn, flags, k2,
+                (batch_size, spec.num_edges, dyn.k_max),
+            )
+            rank2_q = quantize(rank2)
+            gen_ccs.extend(ccs_from_two_stage(
+                np.asarray(out.x), np.asarray(adj_q), np.asarray(rank2_q),
+                dyn, spec,
+            ))
+
+        results: Dict[str, Any] = {
+            "n_samples": len(gen_ccs),
+            "sampling_time_s": round(time.perf_counter() - t_start, 1),
+        }
+        if cfg.sample.get("eval", True):
+            from ccsd_tpu.eval.cc_stats import eval_CC_list
+            from ccsd_tpu.eval.stats import eval_graph_list
+
+            gen_graphs = convert_CC_to_graphs(gen_ccs)
+            test_graphs = convert_CC_to_graphs(test_objs)
+            results["mmd"] = eval_graph_list(test_graphs, gen_graphs)
+            worker_kwargs = dict(
+                d_min=dc.d_min, d_max=dc.d_max, N=dc.max_node_num,
+                min_node_val=dc.min_node_val, max_node_val=dc.max_node_val,
+                node_label=dc.node_label, min_edge_val=dc.min_edge_val,
+                max_edge_val=dc.max_edge_val, edge_label=dc.edge_label,
+            )
+            results["cc_mmd"] = eval_CC_list(
+                test_objs, gen_ccs, worker_kwargs,
+                cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
+            )
+        self.logger.log(f"two-stage sampling: {results}")
+        return results

@@ -395,6 +395,11 @@ class Trainer:
         return path
 
 
-def get_trainer_from_config(config, **kwargs) -> Trainer:
-    """Factory.  Parity: trainer.py:615-630 (one class handles both modes)."""
+def get_trainer_from_config(config, **kwargs):
+    """Factory.  Parity: trainer.py:615-630 (one class handles both modes);
+    train.two_stage selects the open-universe TwoStageTrainer (new design)."""
+    if config.train.get("two_stage"):
+        from ccsd_tpu.training.two_stage_trainer import TwoStageTrainer
+
+        return TwoStageTrainer(config, **kwargs)
     return Trainer(config, **kwargs)
