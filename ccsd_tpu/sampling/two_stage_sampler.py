@@ -137,11 +137,14 @@ class TwoStageSampler:
         }
         if cfg.sample.get("eval", True):
             from ccsd_tpu.eval.cc_stats import eval_CC_list
-            from ccsd_tpu.eval.stats import eval_graph_list
+            from ccsd_tpu.eval.stats import eval_graph_list, load_eval_settings
 
             gen_graphs = convert_CC_to_graphs(gen_ccs)
             test_graphs = convert_CC_to_graphs(test_objs)
-            results["mmd"] = eval_graph_list(test_graphs, gen_graphs)
+            methods, kernels = load_eval_settings()
+            results["mmd"] = eval_graph_list(
+                test_graphs, gen_graphs, methods=methods, kernels=kernels
+            )
             worker_kwargs = dict(
                 d_min=dc.d_min, d_max=dc.d_max, N=dc.max_node_num,
                 min_node_val=dc.min_node_val, max_node_val=dc.max_node_val,

@@ -102,7 +102,9 @@ class TwoStageTrainer:
 
         self.optimizers = {
             n: make_optimizer(lr=tc.lr, weight_decay=tc.weight_decay,
-                              grad_norm=tc.grad_norm)
+                              grad_norm=tc.grad_norm,
+                              lr_schedule=tc.get("lr_schedule", False),
+                              lr_decay=tc.get("lr_decay", 0.999))
             for n in self.names
         }
         key = jax.random.PRNGKey(self.seed)
