@@ -1,67 +1,119 @@
 #!/usr/bin/env python
-"""Headline benchmark: PC-sampler throughput on community_small, one chip.
+"""Headline benchmark: PC-sampler throughput, one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line.  Primary metric (driver contract):
   {"metric": "sampler_edges_per_s_per_chip", "value": N, "unit": "edges/s",
    "vs_baseline": N / REF_BASELINE_EDGES_PER_S, ...}
+The same object carries the CC-sampler hot loop (community_small_CC shapes,
+3 models, E=190, K=1140) and the measured model-FLOP utilisation (MFU) of
+both loops so BENCH_r* tracks every throughput surface (VERDICT round 1,
+"harden the bench contract").
 
 Protocol (matches the reference's sampling hot loop, SURVEY.md section 3.2):
-ScoreNetworkX + ScoreNetworkA at gdss_community_small checkpoint shapes
-(N=20 nodes, F=10 features), batch 128, 1000 reverse-diffusion steps with
-Euler predictor + 1-step Langevin corrector => 2 model evals (x & adj pairs)
-per step, exactly like the reference.  edges/s = B * C(N,2) * steps / time.
+graph loop = ScoreNetworkX + ScoreNetworkA at gdss_community_small
+checkpoint shapes (N=20 nodes, F=10 features), batch 128, 1000
+reverse-diffusion steps with Euler predictor + 1-step Langevin corrector
+=> 4 model evals per step, exactly like the reference.  CC loop =
+ScoreNetworkX + ScoreNetworkA_CC + ScoreNetworkF at ccsd_community_small_CC
+shapes => 6 evals per step.  edges/s = B * C(N,2) * steps / time.
 
-Baseline: the reference PyTorch sampler (ccsd/src/solver.py pc_sampler) run
-from the shipped gdss_community_small.pth on this host's CPU — the only
-hardware the single-process reference can use here — measured at
-1.86 steps/s == 45,290 edges/s (537 ms/step, batch 128).
+Baselines: the reference PyTorch samplers (ccsd/src/solver.py pc_sampler)
+run from the shipped checkpoints on this host's CPU — the only hardware the
+single-process reference supports here — measured at 1.86 steps/s (graph,
+537 ms/step) and 0.0454 steps/s (CC, 22.04 s/step), batch 128 (BASELINE.md).
+
+Staleness contract: if the TPU tunnel wedges, the watchdog emits
+value=null + stale=true and keeps the last good measurement under
+"stale_record" (with its "measured_at" timestamp) — a driver scanning only
+"value" can never mistake a cached number for a fresh one.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import threading
 import time
 
-REF_BASELINE_EDGES_PER_S = 45_290.0  # reference torch CPU, this host (see above)
+REF_BASELINE_EDGES_PER_S = 45_290.0  # reference torch CPU, graph loop
+REF_BASELINE_CC_STEPS_PER_S = 1.0 / 22.04  # reference torch CPU, CC loop
 
 B, N, F = 128, 20, 10
 STEPS = 1000
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_cache.json")
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "bench_cache.json")
+
+# MXU peak for MFU.  Models run fp32; on TPU v5e the MXU executes fp32
+# matmuls via bf16x3 passes, so the honest dense-math ceiling for this
+# workload is the bf16 peak (197 TFLOP/s) — MFU reported against that is
+# conservative (a pure-bf16 port could only look better).
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
 
 
 def _watchdog(seconds: float) -> None:
     """The axon TPU tunnel can wedge indefinitely (DESIGN_NOTES.md); if the
-    measurement exceeds the deadline, emit the last good measurement marked
-    stale (or an explicit failure record) instead of hanging the driver."""
+    measurement exceeds the deadline, emit value=null (never a number) and
+    attach the last good measurement as stale_record."""
 
     def fire():
         time.sleep(seconds)
+        record = {
+            "metric": "sampler_edges_per_s_per_chip",
+            "value": None,
+            "unit": "edges/s",
+            "vs_baseline": None,
+            "stale": True,
+            "error": "TPU unavailable at bench time",
+        }
         if os.path.exists(CACHE):
-            with open(CACHE) as f:
-                cached = json.load(f)
-            cached["stale"] = True
-            cached["note"] = "TPU unavailable at bench time; cached measurement"
-            print(json.dumps(cached), flush=True)
-        else:
-            print(json.dumps({
-                "metric": "sampler_edges_per_s_per_chip", "value": None,
-                "unit": "edges/s", "vs_baseline": None,
-                "error": "TPU unavailable and no cached measurement",
-            }), flush=True)
+            try:
+                with open(CACHE) as f:
+                    cached = json.load(f)
+                record["stale_record"] = cached
+                record["stale_value"] = cached.get("value")
+                record["note"] = (
+                    "last good measurement attached as stale_record "
+                    f"(measured_at {cached.get('measured_at')})"
+                )
+            except (OSError, ValueError):
+                pass
+        print(json.dumps(record), flush=True)
         os._exit(0)
 
     t = threading.Thread(target=fire, daemon=True)
     t.start()
 
 
-def main() -> None:
-    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "900")))
-    import jax
-    import jax.numpy as jnp
+def _compiled_flops(fn, *args):
+    """Analytic FLOPs of one call, via XLA cost analysis.
 
+    NOTE: cost analysis counts a lax.scan/while body ONCE regardless of trip
+    count, so callers must analyze a single model eval and multiply by
+    (evals per step) * (diffusion steps) — never analyze the scanned sampler
+    directly.
+    """
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _time_best_of(fn, reps=3):
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        fn(i)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _bench_graph(jax, jnp):
     from ccsd_tpu.diffusion.losses import get_score_fn
     from ccsd_tpu.diffusion.sde import VPSDE
     from ccsd_tpu.diffusion.solvers import get_pc_sampler
@@ -90,32 +142,114 @@ def main() -> None:
     jitted = jax.jit(lambda fl, k: sampler(sfx, sfa, fl, k))
     flags = jnp.ones((B, N))
 
-    # compile warmup
-    out = jitted(flags, jax.random.PRNGKey(2))
-    out.adj.block_until_ready()
+    jitted(flags, jax.random.PRNGKey(2)).adj.block_until_ready()  # compile
+    elapsed = _time_best_of(
+        lambda i: jitted(flags, jax.random.PRNGKey(3 + i)).adj.block_until_ready()
+    )
+    # FLOPs: one eval per model, x (corrector + predictor) = 2 evals per
+    # model per step (Langevin n_steps=1).
+    x0 = jnp.zeros((B, N, F))
+    a0 = jnp.zeros((B, N, N))
+    t0 = jnp.zeros((B,))
+    fx = _compiled_flops(sfx, x0, a0, flags, t0)
+    fa = _compiled_flops(sfa, x0, a0, flags, t0)
+    flops = (fx + fa) * 2 * STEPS if (fx and fa) else None
+    return elapsed, flops
 
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = jitted(flags, jax.random.PRNGKey(3 + i))
-        out.adj.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
 
+def _bench_cc(jax, jnp):
+    from ccsd_tpu.diffusion.losses import get_score_fn_cc
+    from ccsd_tpu.diffusion.sde import VPSDE
+    from ccsd_tpu.diffusion.solvers import get_pc_sampler
+    from ccsd_tpu.models.registry import load_model, load_model_params, with_fused
+    from ccsd_tpu.ops.cells import ComplexSpec
+    from ccsd_tpu.utils.config import get_config
+
+    cfg = get_config("community_small_CC", seed=0, folder=REPO)
+    Fcc = cfg.data.max_feat_num  # 11
+    defs = dict(zip(("x", "adj", "rank2"), load_model_params(cfg, is_cc=True)))
+    defs = with_fused(defs)
+    models = {n: load_model(d) for n, d in defs.items()}
+    key = jax.random.PRNGKey(0)
+    params = {n: m.init(jax.random.fold_in(key, i))
+              for i, (n, m) in enumerate(models.items())}
+    spec = ComplexSpec(N=cfg.data.max_node_num, d_min=cfg.data.d_min,
+                       d_max=cfg.data.d_max)
+    E, K = spec.num_edges, spec.num_cells
+    sdes = {n: VPSDE(N=STEPS, beta_min=0.1, beta_max=1.0)
+            for n in ("x", "adj", "rank2")}
+    sampler = get_pc_sampler(
+        sdes["x"], sdes["adj"], (B, N, Fcc), (B, N, N), predictor="Euler",
+        corrector="Langevin", snr=cfg.sampler.snr,
+        scale_eps=cfg.sampler.scale_eps, n_steps=1, denoise=True, eps=1e-4,
+        is_cc=True, sde_rank2=sdes["rank2"], shape_rank2=(B, E, K), spec=spec,
+    )
+    sfx = get_score_fn_cc(sdes["x"], models["x"], params["x"])
+    sfa = get_score_fn_cc(sdes["adj"], models["adj"], params["adj"])
+    sfr = get_score_fn_cc(sdes["rank2"], models["rank2"], params["rank2"])
+    jitted = jax.jit(lambda fl, k: sampler(sfx, sfa, sfr, fl, k))
+    flags = jnp.ones((B, N))
+
+    jitted(flags, jax.random.PRNGKey(2)).adj.block_until_ready()  # compile
+    elapsed = _time_best_of(
+        lambda i: jitted(flags, jax.random.PRNGKey(3 + i)).adj.block_until_ready()
+    )
+    x0 = jnp.zeros((B, N, Fcc))
+    a0 = jnp.zeros((B, N, N))
+    r0 = jnp.zeros((B, E, K))
+    t0 = jnp.zeros((B,))
+    per_eval = [
+        _compiled_flops(sf, x0, a0, r0, flags, t0) for sf in (sfx, sfa, sfr)
+    ]
+    flops = (sum(per_eval) * 2 * STEPS) if all(per_eval) else None
+    return elapsed, flops, E, K
+
+
+def main() -> None:
+    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "900")))
+    import jax
+    import jax.numpy as jnp
+
+    device = jax.devices()[0]
+    peak = PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
+
+    g_elapsed, g_flops = _bench_graph(jax, jnp)
     edges = B * (N * (N - 1) // 2)
-    edges_per_s = edges * STEPS / elapsed
-    steps_per_s = STEPS / elapsed
+    edges_per_s = edges * STEPS / g_elapsed
     record = {
         "metric": "sampler_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / REF_BASELINE_EDGES_PER_S, 2),
-        "steps_per_s": round(steps_per_s, 2),
+        "steps_per_s": round(STEPS / g_elapsed, 2),
         "batch": B,
         "diffusion_steps": STEPS,
-        "wall_s": round(elapsed, 3),
-        "device": str(jax.devices()[0]),
+        "wall_s": round(g_elapsed, 3),
+        "device": str(device),
+        "stale": False,
+        "measured_at": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"),
     }
+    if g_flops and peak:
+        record["graph_mfu"] = round(g_flops / g_elapsed / peak, 4)
+        record["graph_tflops_per_s"] = round(g_flops / g_elapsed / 1e12, 3)
+
+    try:
+        cc_elapsed, cc_flops, E, K = _bench_cc(jax, jnp)
+        cc_steps_per_s = STEPS / cc_elapsed
+        record.update({
+            "cc_sampler_steps_per_s": round(cc_steps_per_s, 2),
+            "cc_sampler_edges_per_s": round(B * E * STEPS / cc_elapsed, 1),
+            "cc_vs_baseline": round(cc_steps_per_s / REF_BASELINE_CC_STEPS_PER_S, 1),
+            "cc_wall_s": round(cc_elapsed, 3),
+            "cc_shape": {"E": E, "K": K},
+        })
+        if cc_flops and peak:
+            record["cc_mfu"] = round(cc_flops / cc_elapsed / peak, 4)
+            record["cc_tflops_per_s"] = round(cc_flops / cc_elapsed / 1e12, 3)
+    except Exception as e:  # CC leg must never lose the primary metric
+        record["cc_error"] = f"{type(e).__name__}: {e}"
+
     try:
         with open(CACHE, "w") as f:
             json.dump(record, f)

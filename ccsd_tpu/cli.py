@@ -27,11 +27,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42, help="random seed")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint name to resume training from")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host mode: call jax.distributed.initialize "
+                   "before anything else (coordinator/process topology from "
+                   "CCSD_COORDINATOR / CCSD_NUM_PROCESSES / CCSD_PROCESS_ID, "
+                   "or JAX auto-detection on managed TPU pods)")
     return p
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    from ccsd_tpu.parallel.multihost import initialize, should_initialize
+
+    if args.distributed or should_initialize():
+        initialize()
     from ccsd_tpu.experiment import run_experiment
 
     run_experiment(

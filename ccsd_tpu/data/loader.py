@@ -145,16 +145,35 @@ def init_flags(
 # -------------------------------------------------------------- batching ----
 
 class ArrayDataset:
-    """Shuffled minibatch iterator over aligned numpy arrays."""
+    """Shuffled minibatch iterator over aligned numpy arrays.
+
+    Multi-host mode (``process_count > 1``): every host constructs the SAME
+    global permutation (shared seed) and yields only its contiguous
+    1/process_count block of each global batch — the Trainer then assembles
+    the global device array with ``jax.make_array_from_process_local_data``
+    (parallel/multihost.py), so the global batch is bit-identical to the
+    single-process run.  Ragged final batches are dropped in this mode
+    (uneven per-host shards cannot form a global array).
+    """
 
     def __init__(self, arrays: Sequence[np.ndarray], batch_size: int,
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = False):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         self.arrays = [np.asarray(a) for a in arrays]
         n = self.arrays[0].shape[0]
         assert all(a.shape[0] == n for a in self.arrays)
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over "
+                    f"{process_count} processes"
+                )
+            drop_last = True
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
 
@@ -168,8 +187,12 @@ class ArrayDataset:
         if self.shuffle:
             self._rng.shuffle(idx)
         stop = (self.n // self.batch_size) * self.batch_size if self.drop_last else self.n
+        per_host = self.batch_size // self.process_count
         for s in range(0, stop, self.batch_size):
             b = idx[s:s + self.batch_size]
+            if self.process_count > 1:
+                b = b[self.process_index * per_host:
+                      (self.process_index + 1) * per_host]
             yield tuple(a[b] for a in self.arrays)
 
 
@@ -178,6 +201,17 @@ def _split(n: int, test_split: float) -> Tuple[slice, slice]:
     (data_loader.py:48-58)."""
     k = int(test_split * n)
     return slice(k, n), slice(0, k)
+
+
+def _process_info() -> Tuple[int, int]:
+    """(process_index, process_count) for host-sharded loading; (0, 1) when
+    JAX is not initialized multi-process."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
 
 
 def dataloader(config, get_list: bool = False, seed: int = 0):
@@ -197,8 +231,11 @@ def dataloader(config, get_list: bool = False, seed: int = 0):
         x = init_features(config.data.init, adjs, config.data.max_feat_num)
         return x, adjs
 
-    train = ArrayDataset(to_arrays(train_objs), config.data.batch_size, seed=seed)
-    test = ArrayDataset(to_arrays(test_objs), config.data.batch_size, seed=seed)
+    pidx, pcnt = _process_info()
+    train = ArrayDataset(to_arrays(train_objs), config.data.batch_size,
+                         seed=seed, process_index=pidx, process_count=pcnt)
+    test = ArrayDataset(to_arrays(test_objs), config.data.batch_size,
+                        seed=seed, process_index=pidx, process_count=pcnt)
     return train, test
 
 
@@ -242,8 +279,11 @@ def dataloader_cc(config, get_list: bool = False, seed: int = 0):
         x = init_features(config.data.init, adjs, config.data.max_feat_num)
         return x, adjs, rank2
 
-    train = ArrayDataset(to_arrays(train_objs), config.data.batch_size, seed=seed)
-    test = ArrayDataset(to_arrays(test_objs), config.data.batch_size, seed=seed)
+    pidx, pcnt = _process_info()
+    train = ArrayDataset(to_arrays(train_objs), config.data.batch_size,
+                         seed=seed, process_index=pidx, process_count=pcnt)
+    test = ArrayDataset(to_arrays(test_objs), config.data.batch_size,
+                        seed=seed, process_index=pidx, process_count=pcnt)
     return train, test
 
 

@@ -28,8 +28,13 @@ def make_mesh(
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """Build a mesh over the first n devices (default: all)."""
-    devices = jax.devices()
+    """Build a mesh over the first n devices (default: all).
+
+    Devices are ordered process-major so that in multi-controller mode the
+    'data' axis spans hosts contiguously (each host's batch shard lands on
+    its own chips; gradient psums ride DCN between hosts).
+    """
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
@@ -51,12 +56,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Optional[Mesh], *arrays):
     """Device-put arrays with batch sharding (no-op without a mesh).
 
-    Batches whose leading dim does not divide the 'data' axis (e.g. a ragged
-    final batch) are placed replicated instead — correctness over speed for
-    the stragglers.
+    Multi-process (multi-controller) mode: each process passes its own rows
+    of the global batch (the host-sharded ArrayDataset yields exactly those)
+    and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the DCN path that replaces
+    the reference's single-process DataParallel scatter.
+
+    Single-process: batches whose leading dim does not divide the 'data'
+    axis (e.g. a ragged final batch) are placed replicated instead —
+    correctness over speed for the stragglers.
     """
     import jax.numpy as jnp
 
+    if jax.process_count() > 1:
+        from ccsd_tpu.parallel.multihost import shard_host_batch
+
+        assert mesh is not None
+        return shard_host_batch(mesh, *arrays)
     if mesh is None or mesh.size == 1:
         return tuple(jnp.asarray(a) for a in arrays)
     n_data = mesh.shape.get("data", mesh.size)

@@ -35,7 +35,15 @@ from ccsd_tpu.training.checkpoint import (
 )
 from ccsd_tpu.training.ema import ema_copy_to
 from ccsd_tpu.utils.config import AttrDict
-from ccsd_tpu.utils.logger import Logger
+from ccsd_tpu.utils.logger import (
+    Logger,
+    device_log,
+    model_parameters_log,
+    sample_log,
+    set_log,
+    start_log,
+    time_log,
+)
 
 
 def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
@@ -82,6 +90,7 @@ class Sampler:
     def __init__(self, config, log: bool = True):
         self.config = config
         self.is_cc = bool(config.get("is_cc", False))
+        self._log = log
         self.logger = Logger(verbose=log)
 
     # ------------------------------------------------------------- loading --
@@ -134,6 +143,22 @@ class Sampler:
         defs = with_fused(defs, bool(cfg.sample.get("fused", True)))
         models = {n: load_model(d) for n, d in defs.items()}
         spec = models["rank2"].spec if self.is_cc else None
+
+        if self._log and "train" in configt:
+            # sample-run log file + forensics banners (logger.py:68-246);
+            # the dir root is the SAMPLE config's folder (configt carries the
+            # training machine's stale folder inside the checkpoint)
+            configt_log = AttrDict(dict(configt))
+            configt_log.folder = cfg.get("folder", "./")
+            folder_name, log_name, _ = set_log(configt_log, is_train=False)
+            self.logger = Logger(
+                file_path=os.path.join(folder_name, f"{log_name}.log"),
+                verbose=True,
+            )
+            start_log(self.logger, configt)
+            device_log(self.logger)
+            sample_log(self.logger, cfg)
+            model_parameters_log(self.logger, params)
 
         train_objs, test_objs = load_data(configt, get_list=True, is_cc=self.is_cc)
         batch_size = int(configt.data.batch_size)
@@ -250,8 +275,8 @@ class Sampler:
                                      save_dir=out_dir)
             except Exception as e:  # plotting must never kill a sample run
                 self.logger.log(f"sample plotting failed: {e}")
-        self.logger.log(f"Sampling round(s): {num_sampling_rounds}, "
-                        f"time: {sampling_time:.1f}s")
+        self.logger.log(f"Sampling round(s): {num_sampling_rounds}")
+        time_log(self.logger, "sample", sampling_time)
         return results
 
 

@@ -34,7 +34,14 @@ from ccsd_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ccsd_tpu.training.checkpoint import ckpt_path, save_ckpt
 from ccsd_tpu.training.ema import ema_copy_to, ema_init, ema_update
 from ccsd_tpu.training.optim import make_optimizer
-from ccsd_tpu.utils.logger import Logger, set_log
+from ccsd_tpu.utils.logger import (
+    Logger,
+    device_log,
+    model_parameters_log,
+    set_log,
+    start_log,
+    train_log,
+)
 
 
 @dataclass
@@ -138,6 +145,13 @@ class Trainer:
 
         self._train_step = jax.jit(self._make_train_step())
         self._eval_step = jax.jit(self._make_eval_step())
+
+        if log:
+            # run-forensics banners (parity: logger.py:115-269)
+            start_log(self.logger, config)
+            device_log(self.logger)
+            train_log(self.logger, config)
+            model_parameters_log(self.logger, params)
 
     # ------------------------------------------------------------------ jit --
 
@@ -371,6 +385,8 @@ class Trainer:
         self.logger.log(f"Resumed training state from {path}")
 
     def save_checkpoint(self, suffix: str = "") -> str:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return ""  # one writer per multi-host job
         cfg = self.config
         payload: Dict[str, Any] = {"model_config": cfg.to_dict()
                                    if hasattr(cfg, "to_dict") else dict(cfg)}
