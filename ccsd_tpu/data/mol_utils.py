@@ -89,13 +89,34 @@ def load_smiles(dataset: str = "QM9", folder: str = "./"):
     """
     csv_path = os.path.join(folder, "data", f"{dataset.lower()}.csv")
     if not os.path.exists(csv_path):
+        # fallback 1: a (derived) kekulized npz + valid_idx — canonical
+        # SMILES per split through the vendored writer
+        npz_path = os.path.join(folder, "data",
+                                f"{dataset.lower()}_kekulized.npz")
+        vidx_path = os.path.join(folder, "data",
+                                 f"valid_idx_{dataset.lower()}.json")
+        if os.path.exists(npz_path) and os.path.exists(vidx_path):
+            from ccsd_tpu.data.mol_loader import load_mol
+
+            mols = load_mol(npz_path)
+            with open(vidx_path) as f:
+                test_idx = json.load(f)
+            if dataset == "QM9":
+                test_idx = [int(i) for i in test_idx["valid_idxs"]]
+            test_set = set(test_idx)
+            smiles = [smiles_from_kekulized(x, adj) for x, adj in mols]
+            train = [s for i, s in enumerate(smiles) if i not in test_set]
+            test = [s for i, s in enumerate(smiles) if i in test_set]
+            return train, test
+        # fallback 2: the shipped test-split nx graphs only (no train set;
+        # novelty is then unavailable)
         import pickle
 
         nx_path = os.path.join(folder, "data", f"{dataset.lower()}_test_nx.pkl")
         if not os.path.exists(nx_path):
             raise FileNotFoundError(
-                f"Neither {csv_path} nor {nx_path} exists; cannot build "
-                f"SMILES sets for {dataset}"
+                f"None of {csv_path}, {npz_path}, {nx_path} exist; cannot "
+                f"build SMILES sets for {dataset}"
             )
         from ccsd_tpu.chem import mol_from_nx, to_smiles
 
@@ -237,6 +258,49 @@ def gen_mol(x, adj, dataset: str, largest_connected_comp: bool = True):
         vcmol = _seg(cmol, largest_connected_comp=largest_connected_comp)
         mols.append(vcmol)
     return [m for m in mols if m is not None], num_no_correct
+
+
+def smiles_from_kekulized(x: np.ndarray, adj: np.ndarray) -> str:
+    """Canonical SMILES of one kekulized-npz entry (atomic numbers +
+    bond-order channels) through the vendored writer."""
+    from ccsd_tpu.chem import Atom, Mol, to_smiles
+
+    mol = Mol()
+    remap = {}
+    for i in np.nonzero(np.asarray(x))[0]:
+        remap[int(i)] = mol.AddAtom(Atom(int(x[i])))
+    orders = adj[0] + 2 * adj[1] + 3 * adj[2]
+    for i in remap:
+        for j in remap:
+            if i < j and orders[i, j]:
+                mol.AddBond(remap[i], remap[j], int(orders[i, j]))
+    return to_smiles(mol)
+
+
+def model_output_to_mol_inputs(x: np.ndarray, adj: np.ndarray
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sampler output -> construct_mol inputs.
+
+    Parity: ccsd/src/sampler.py:814-827.  adj (B, N, N) continuous bond
+    orders are rounded (quantize_mol thresholds .5/1.5/2.5), shifted so the
+    channel order becomes (single, double, triple, virtual), and one-hot
+    expanded to (B, 4, N, N); x (B, N, F) is binarized at 0.5 and the
+    virtual-atom class column 1 - sum is appended.
+    """
+    from ccsd_tpu.ops.masks import quantize_mol
+
+    adj_int = np.asarray(quantize_mol(adj))  # (B, N, N) ints 0..3
+    adj_oh = np.zeros((*adj_int.shape, 4), np.float32)
+    for order in (1, 2, 3):
+        adj_oh[..., order - 1] = adj_int == order
+    adj_oh[..., 3] = adj_int == 0  # virtual-bond channel
+    adj_ch = np.moveaxis(adj_oh, -1, 1)  # (B, 4, N, N)
+
+    x_bin = (np.asarray(x) > 0.5).astype(np.float32)
+    x_full = np.concatenate(
+        [x_bin, 1.0 - x_bin.sum(-1, keepdims=True)], axis=-1
+    )
+    return x_full, adj_ch
 
 
 def mols_to_nx(mols) -> List[nx.Graph]:

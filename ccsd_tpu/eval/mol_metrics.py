@@ -20,16 +20,11 @@ from typing import Dict, List, Optional, Sequence
 
 
 def canonical_smiles(mols) -> List[str]:
-    from rdkit import Chem
+    from ccsd_tpu.data.mol_utils import mols_to_smiles
 
-    out = []
-    for m in mols:
-        if m is None:
-            continue
-        s = Chem.MolToSmiles(m)
-        if s:
-            out.append(s)
-    return out
+    return [
+        s for s in mols_to_smiles([m for m in mols if m is not None]) if s
+    ]
 
 
 def fraction_valid(mols, n_generated: int) -> float:
@@ -43,9 +38,14 @@ def fraction_unique(smiles: Sequence[str], k: Optional[int] = None) -> float:
     return len(set(s)) / max(1, len(s))
 
 
-def novelty(smiles: Sequence[str], train_smiles: Sequence[str]) -> float:
+def novelty(smiles: Sequence[str], train_smiles: Sequence[str]
+            ) -> Optional[float]:
+    """Fraction of unique generated SMILES absent from the train set;
+    None when no train set is available (e.g. raw csv blob missing)."""
     gen = set(smiles)
     train = set(train_smiles)
+    if not train:
+        return None
     if not gen:
         return 0.0
     return len(gen - train) / len(gen)

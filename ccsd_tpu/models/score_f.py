@@ -18,6 +18,34 @@ from ccsd_tpu.ops.hodge import default_mask, pow_tensor_cc
 from ccsd_tpu.ops.masks import mask_rank2
 
 
+def linear_slabs(lin_params: dict, slabs: list) -> list:
+    """Channel Linear over a python list of (B, E, K) slabs: unrolled into
+    scalar-weight multiply-adds so XLA fuses everything elementwise (no
+    (B, C, E, K) tensor ever hits HBM)."""
+    w, b = lin_params["w"], lin_params["b"]
+    outs = []
+    for o in range(w.shape[1]):
+        acc = b[o]
+        for c, s in enumerate(slabs):
+            acc = acc + w[c, o] * s
+        outs.append(acc)
+    return outs
+
+
+def mlp_slabs(mlp: "MLP", mlp_params: dict, slabs: list) -> list:
+    """MLP over channel slabs (see linear_slabs)."""
+    from ccsd_tpu.models.nn import ACT
+
+    lins = mlp_params["linears"]
+    act = ACT[mlp.act]
+    h = slabs
+    for i, lp in enumerate(lins):
+        h = linear_slabs(lp, h)
+        if i < len(lins) - 1:
+            h = [act(s) for s in h]
+    return h
+
+
 @dataclass(frozen=True)
 class ScoreNetworkF:
     num_layers_mlp: int
@@ -114,7 +142,6 @@ class ScoreNetworkF:
         with no (B, C, E, K) tensor ever written to HBM.  Measured ~7x on
         TPU v5e (DESIGN_NOTES.md).
         """
-        from ccsd_tpu.models.nn import ACT
         from ccsd_tpu.ops.hodge import hodge_laplacian
         from ccsd_tpu.ops.masks import mask_rank2_dynamic
 
@@ -124,26 +151,6 @@ class ScoreNetworkF:
             mask = lambda s: mask_rank2_dynamic(s, spec, member, valid, flags)
         else:
             mask = lambda s: mask_rank2(s, spec, flags)
-
-        def linear_slabs(lin_params, slabs):
-            w, b = lin_params["w"], lin_params["b"]
-            outs = []
-            for o in range(w.shape[1]):
-                acc = b[o]
-                for c, s in enumerate(slabs):
-                    acc = acc + w[c, o] * s
-                outs.append(acc)
-            return outs
-
-        def mlp_slabs(mlp, mlp_params, slabs):
-            lins = mlp_params["linears"]
-            act = ACT[mlp.act]
-            h = slabs
-            for i, lp in enumerate(lins):
-                h = linear_slabs(lp, h)
-                if i < len(lins) - 1:
-                    h = [act(s) for s in h]
-            return h
 
         H = hodge_laplacian(rank2)
         if self.use_hodge_mask:

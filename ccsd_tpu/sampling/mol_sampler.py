@@ -21,7 +21,6 @@ from ccsd_tpu.data.loader import load_data
 from ccsd_tpu.data.mol_utils import (
     canonicalize_smiles,
     gen_mol,
-    has_rdkit,
     load_smiles,
     mols_to_nx,
     mols_to_smiles,
@@ -29,29 +28,48 @@ from ccsd_tpu.data.mol_utils import (
 from ccsd_tpu.diffusion.losses import get_score_fn, get_score_fn_cc
 from ccsd_tpu.diffusion.sde import load_sde
 from ccsd_tpu.models.registry import load_model, with_fused
-from ccsd_tpu.ops.masks import quantize_mol
 from ccsd_tpu.sampling.sampler import Sampler, load_sampling_fn
 from ccsd_tpu.utils.logger import Logger
 
 
 class MolSampler(Sampler):
-    """Molecule sampler: graph or CC mode by config.is_cc."""
+    """Molecule sampler: graph or CC mode by config.is_cc.
 
-    def __init__(self, config, log: bool = True):
-        if not has_rdkit():
-            raise ImportError(
-                "RDKit is required for molecular sampling "
-                "(QM9/ZINC250k); install rdkit or use a generic-graph config."
-            )
-        super().__init__(config, log=log)
+    Runs on either chemistry backend: RDKit when importable, else the
+    vendored minimal kernel (ccsd_tpu.chem) with identical
+    construct/correct/segment semantics.
+    """
 
     def sample(self) -> Dict[str, Any]:
         cfg = self.config
         dataset = str(cfg.data.data)
         t_start = time.perf_counter()
         configt, defs, params = self._load_checkpoint()
+        # data paths resolve against the SAMPLE config's folder (configt
+        # carries the training machine's stale folder inside the checkpoint)
+        configt.folder = cfg.get("folder", "./")
+        configt.data.dir = cfg.data.dir
         defs = with_fused(defs, bool(cfg.sample.get("fused", True)))
         models = {n: load_model(d) for n, d in defs.items()}
+
+        if getattr(self, "_log", False) and "train" in configt:
+            from ccsd_tpu.utils.config import AttrDict as _AD
+            from ccsd_tpu.utils.logger import (
+                device_log, model_parameters_log, sample_log, set_log,
+                start_log,
+            )
+
+            configt_log = _AD(dict(configt))
+            configt_log.folder = cfg.get("folder", "./")
+            folder_name, log_name, _ = set_log(configt_log, is_train=False)
+            self.logger = Logger(
+                file_path=os.path.join(folder_name, f"{log_name}.log"),
+                verbose=True,
+            )
+            start_log(self.logger, configt)
+            device_log(self.logger)
+            sample_log(self.logger, cfg)
+            model_parameters_log(self.logger, params)
 
         train_smiles, test_smiles = load_smiles(
             dataset, folder=cfg.get("folder", "./")
@@ -62,8 +80,9 @@ class MolSampler(Sampler):
         n_samples = int(cfg.sample.n_samples)
         divide = int(cfg.sample.get("divide_batch") or 1)
         batch_size = max(1, n_samples // divide)
+        spec = models["rank2"].spec if self.is_cc else None
         sampling_fn = load_sampling_fn(
-            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size
+            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
         if self.is_cc:
@@ -77,29 +96,33 @@ class MolSampler(Sampler):
             ]
         jitted = jax.jit(lambda fl, k: sampling_fn(*score_fns, fl, k))
 
-        key = jax.random.PRNGKey(int(cfg.sample.get("seed", 42)))
+        # init_flags sampled from the train set's node-count distribution
+        # (reference sampler.py:797-800 — NOT all-ones masks)
+        from ccsd_tpu.data.loader import init_flags as sample_init_flags
+
+        train_objs, _ = load_data(configt, get_list=True, is_cc=self.is_cc)
+        seed = int(cfg.sample.get("seed", 42))
+        key = jax.random.PRNGKey(seed)
+        rng = np.random.default_rng(seed)
         xs, adjs = [], []
         n_rounds = math.ceil(n_samples / batch_size)
         for _ in range(n_rounds):
             key, sub = jax.random.split(key)
-            flags = np.ones((batch_size, configt.data.max_node_num), np.float32)
+            flags = sample_init_flags(
+                train_objs, configt, batch_size, is_cc=self.is_cc, rng=rng
+            )
             out = jitted(jnp.asarray(flags), sub)
             xs.append(np.asarray(out.x))
             adjs.append(np.asarray(out.adj))
         x = np.concatenate(xs)[:n_samples]
         adj = np.concatenate(adjs)[:n_samples]
 
-        # bond-order rounding -> one-hot channel remap (sampler.py:814-830)
-        adj_int = quantize_mol(adj)  # (B, N, N) ints 0..3
-        adj_oh = np.zeros((*adj_int.shape, 4), np.float32)
-        for b in range(4):
-            adj_oh[..., b] = adj_int == (b + 1)
-        adj_oh[..., 3] = adj_int == 0  # virtual-bond channel
-        adj_ch = np.moveaxis(adj_oh, -1, 1)  # (B, 4, N, N)
+        # bond-order rounding -> one-hot channel remap + virtual-atom column
+        # (sampler.py:814-827); validated against golden kekulized fixtures
+        # in tests/data/test_mol_pipeline.py
+        from ccsd_tpu.data.mol_utils import model_output_to_mol_inputs
 
-        # pad x with the virtual-atom class column (x was trained without it)
-        empty = (np.abs(x).sum(-1, keepdims=True) < 1e-8).astype(np.float32)
-        x_full = np.concatenate([x, empty], axis=-1)
+        x_full, adj_ch = model_output_to_mol_inputs(x, adj)
 
         mols, num_no_correct = gen_mol(x_full, adj_ch, dataset)
         smiles = mols_to_smiles(mols)
