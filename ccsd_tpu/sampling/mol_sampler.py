@@ -81,8 +81,20 @@ class MolSampler(Sampler):
         divide = int(cfg.sample.get("divide_batch") or 1)
         batch_size = max(1, n_samples // divide)
         spec = models["rank2"].spec if self.is_cc else None
+        # figure/GIF gating mirrors the generic sampler (reference
+        # sampler.py:935-1000: molecule grid + 3D rotation + trajectory GIF
+        # behind general_config.plotly_fig)
+        from ccsd_tpu.utils.config import get_general_config
+
+        try:
+            general = get_general_config(cfg.get("folder", "./"))
+            gif_default = bool(general.get("plotly_fig", False))
+        except Exception:
+            gif_default = False
+        save_figs = bool(cfg.sample.get("save_gif", gif_default))
         sampling_fn = load_sampling_fn(
-            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec
+            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec,
+            record_trajectory=save_figs,
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
         if self.is_cc:
@@ -105,13 +117,16 @@ class MolSampler(Sampler):
         key = jax.random.PRNGKey(seed)
         rng = np.random.default_rng(seed)
         xs, adjs = [], []
+        adj_traj = None
         n_rounds = math.ceil(n_samples / batch_size)
-        for _ in range(n_rounds):
+        for r in range(n_rounds):
             key, sub = jax.random.split(key)
             flags = sample_init_flags(
                 train_objs, configt, batch_size, is_cc=self.is_cc, rng=rng
             )
             out = jitted(jnp.asarray(flags), sub)
+            if save_figs and r == 0 and out.trajectory is not None:
+                adj_traj = np.asarray(out.trajectory[1])
             xs.append(np.asarray(out.x))
             adjs.append(np.asarray(out.adj))
         x = np.concatenate(xs)[:n_samples]
@@ -152,6 +167,31 @@ class MolSampler(Sampler):
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "smiles.txt"), "w") as f:
             f.write("\n".join(smiles))
+
+        if save_figs:
+            # molecule grid + rotating 3D figure + diffusion GIFs
+            # (reference sampler.py:935-1000)
+            try:
+                from ccsd_tpu.utils.plot import (
+                    diffusion_animation,
+                    plot_molecule_list,
+                    rotate_molecule_animation,
+                )
+
+                fig_dir = os.path.join(out_dir, "fig")
+                plot_molecule_list(mols, title="molecules", save_dir=fig_dir)
+                if mols:
+                    rotate_molecule_animation(
+                        mols[0], fig_dir, filename="mols_3d.gif")
+                if adj_traj is not None:
+                    diffusion_animation(adj_traj, fig_dir,
+                                        name="diff_traj_graphs")
+                    diffusion_animation(adj_traj, fig_dir,
+                                        name="diff_traj_graphs_cropped",
+                                        cropped=True)
+                self.logger.log(f"molecule figures -> {fig_dir}")
+            except Exception as e:
+                self.logger.log(f"molecule figures failed: {e}")
 
         for k, v in metrics.items():
             if v is not None:

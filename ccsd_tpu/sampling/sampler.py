@@ -167,8 +167,21 @@ class Sampler:
             batch_size //= int(divide_batch)
         n_rounds = max(1, math.ceil(len(test_objs) / batch_size))
 
+        # diffusion-trajectory GIFs: gated like the reference on
+        # general_config.plotly_fig (sampler.py:328-360), overridable per-run
+        # with sample.save_gif
+        from ccsd_tpu.utils.config import get_general_config
+
+        try:
+            general = get_general_config(cfg.get("folder", "./"))
+            gif_default = bool(general.get("plotly_fig", False))
+        except Exception:
+            gif_default = False
+        save_gif = bool(cfg.sample.get("save_gif", gif_default))
+
         sampling_fn = load_sampling_fn(
-            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec
+            configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec,
+            record_trajectory=save_gif,
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
         if self.is_cc:
@@ -188,6 +201,7 @@ class Sampler:
 
         gen_graphs: List = []
         gen_ccs: List = []
+        adj_traj = None  # sample-0 reverse-diffusion trajectory (round 0)
         num_sampling_rounds = n_rounds
         for r in range(num_sampling_rounds):
             key, sub = jax.random.split(key)
@@ -195,6 +209,8 @@ class Sampler:
                 train_objs, configt, batch_size, is_cc=self.is_cc, rng=rng
             )
             out = jitted(jnp.asarray(flags), sub)
+            if save_gif and r == 0 and out.trajectory is not None:
+                adj_traj = np.asarray(out.trajectory[1])  # (T, N, N)
             adj_q = np.asarray(quantize(out.adj))
             x_np = np.asarray(out.x)
             if self.is_cc:
@@ -275,6 +291,21 @@ class Sampler:
                                      save_dir=out_dir)
             except Exception as e:  # plotting must never kill a sample run
                 self.logger.log(f"sample plotting failed: {e}")
+        if adj_traj is not None:
+            # reference emits full + cropped trajectory GIFs per run
+            # (sampler.py:328-360, plot.py:606-763)
+            try:
+                from ccsd_tpu.utils.plot import diffusion_animation
+
+                fig_dir = os.path.join(out_dir, "fig")
+                results["gif"] = diffusion_animation(
+                    adj_traj, fig_dir, name="diff_traj_graphs")
+                results["gif_cropped"] = diffusion_animation(
+                    adj_traj, fig_dir, name="diff_traj_graphs_cropped",
+                    cropped=True)
+                self.logger.log(f"diffusion GIFs -> {fig_dir}")
+            except Exception as e:
+                self.logger.log(f"diffusion GIF failed: {e}")
         self.logger.log(f"Sampling round(s): {num_sampling_rounds}")
         time_log(self.logger, "sample", sampling_time)
         return results

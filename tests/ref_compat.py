@@ -64,9 +64,12 @@ def install_reference(path: str = REFERENCE_ROOT) -> bool:
 
         BondType = _BondType
 
-    _stub("rdkit", Chem=_Chem, RDLogger=_RDLogger)
+    # __ccsd_stub__ marks this as NOT a real RDKit: the stub outlives the
+    # parity test in sys.modules, and mol_utils.has_rdkit() must keep
+    # dispatching to the vendored chem backend afterwards.
+    _stub("rdkit", Chem=_Chem, RDLogger=_RDLogger, __ccsd_stub__=True)
     _stub("rdkit.Chem", Mol=_Chem.Mol, RWMol=_Chem.RWMol, Atom=_Chem.Atom,
-          BondType=_BondType, rdchem=_rdchem)
+          BondType=_BondType, rdchem=_rdchem, __ccsd_stub__=True)
 
     # native-dep stubs used only through call paths parity tests never hit
     for missing, attrs in (("pyemd", {"emd": lambda *a, **k: 0.0}),

@@ -98,10 +98,15 @@ def test_train_then_sample(tmp_path, cc):
     assert os.path.exists(ckpt_file)
 
     cfg.ckpt = f"{ckpt_name}_final"
+    cfg.sample.save_gif = True  # exercise the trajectory-GIF path
     sampler = get_sampler_from_config(cfg, log=False)
     results = sampler.sample()
     assert len(results["graphs"]) > 0
     assert "mmd" in results and np.isfinite(list(results["mmd"].values())).all()
+    fig_dir = os.path.join(str(tmp_path), "samples", name, "fig")
+    assert os.path.exists(os.path.join(fig_dir, "diff_traj_graphs.gif"))
+    assert os.path.exists(
+        os.path.join(fig_dir, "diff_traj_graphs_cropped.gif"))
     if cc:
         assert results["ccs"] is not None
         assert "cc_mmd" in results
