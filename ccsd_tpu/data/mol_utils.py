@@ -317,3 +317,145 @@ def mols_to_nx(mols) -> List[nx.Graph]:
                        label=int(bond.GetBondTypeAsDouble()))
         out.append(G)
     return out
+
+
+def nxs_to_mols(graphs: List[nx.Graph]) -> list:
+    """Labeled nx graphs -> molecules.  Parity: graph_utils.py:402-419."""
+    if has_rdkit():
+        from rdkit import Chem
+
+        bond_decoder = _bond_decoder()
+        mols = []
+        for g in graphs:
+            mol = Chem.RWMol()
+            for _, symbol in g.nodes.data("label"):
+                mol.AddAtom(Chem.Atom(symbol))
+            for a, b, bond_type in g.edges.data("label"):
+                mol.AddBond(a, b, bond_decoder[bond_type])
+            mols.append(mol)
+        return mols
+    from ccsd_tpu.chem import mol_from_nx
+
+    return [mol_from_nx(g) for g in graphs]
+
+
+def get_mol_from_x_adj(x: np.ndarray, adj: np.ndarray, dataset: str = "QM9"):
+    """(x one-hot over DIC_MOL_CONV types, adj integer bond orders) -> Mol.
+
+    Parity: cc_utils.py:286-315 — the post-``get_transform_fn`` decode
+    (atoms 0:C 1:N 2:O 3:F 4:P 5:S 6:Cl 7:Br 8:I; bonds 1/2/3).
+    """
+    from ccsd_tpu.data.cc_codec import DIC_MOL_CONV
+
+    x = np.asarray(x)
+    adj = np.asarray(adj)
+    if has_rdkit():
+        from rdkit import Chem
+
+        bond_decoder = _bond_decoder()
+        mol = Chem.RWMol()
+        for i in range(x.shape[0]):
+            if x[i].any():
+                mol.AddAtom(Chem.Atom(DIC_MOL_CONV[int(np.argmax(x[i]))]))
+        for i in range(adj.shape[0]):
+            for j in range(i + 1, adj.shape[1]):
+                if adj[i, j]:
+                    mol.AddBond(i, j, bond_decoder[float(adj[i, j])])
+        return mol.GetMol()
+    from ccsd_tpu.chem import Atom, Mol
+
+    mol = Mol()
+    for i in range(x.shape[0]):
+        if x[i].any():
+            mol.AddAtom(Atom(DIC_MOL_CONV[int(np.argmax(x[i]))]))
+    for i in range(adj.shape[0]):
+        for j in range(i + 1, adj.shape[1]):
+            if adj[i, j]:
+                mol.AddBond(i, j, int(adj[i, j]))
+    return mol
+
+
+def get_all_mol_rings(mol) -> list:
+    """All rings of a molecule as frozensets of atom indices.
+
+    Parity: cc_utils.py:317-334 (RDKit GetSymmSSSR).  Chem-backend
+    fallback: networkx minimum cycle basis over the bond graph — the same
+    ring content as SSSR for molecular graphs (both are minimum cycle
+    bases; tests/data/test_mol_cc.py pins fixture molecules).
+    """
+    if has_rdkit() and not isinstance(mol, _chem_mol_types()):
+        from rdkit import Chem
+
+        Chem.GetSymmSSSR(mol)
+        return [frozenset(sorted(r)) for r in mol.GetRingInfo().AtomRings()]
+    G = nx.Graph()
+    G.add_nodes_from(a.GetIdx() for a in mol.GetAtoms())
+    G.add_edges_from(
+        (b.GetBeginAtomIdx(), b.GetEndAtomIdx()) for b in mol.GetBonds())
+    return [frozenset(c) for c in nx.minimum_cycle_basis(G)]
+
+
+def _chem_mol_types() -> tuple:
+    from ccsd_tpu.chem import Mol as ChemMol
+
+    return (ChemMol,)
+
+
+def mols_to_cc(mols) -> list:
+    """Molecules -> CCs with rings as rank-2 cells (a lift operation).
+
+    Parity: cc_utils.py:337-380.  Atoms become rank-0 cells with a
+    ``symbol`` attr (atomic number), bonds rank-1 cells with ``bond_type``,
+    SSSR rings rank-2 cells.  Works on either chemistry backend.
+    """
+    from ccsd_tpu.data.complex import CombinatorialComplex
+
+    ccs = []
+    for mol in mols:
+        CC = CombinatorialComplex()
+        for atom in mol.GetAtoms():
+            CC.add_cell((atom.GetIdx(),), rank=0,
+                        symbol=SYMBOL_TO_AN[atom.GetSymbol()])
+        for bond in mol.GetBonds():
+            CC.add_cell((bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()),
+                        rank=1, bond_type=bond.GetBondTypeAsDouble())
+        for ring in get_all_mol_rings(mol):
+            CC.add_cell(ring, rank=2)
+        ccs.append(CC)
+    return ccs
+
+
+def ccs_to_mol(ccs) -> list:
+    """CCs (with symbol / bond_type attrs) -> molecules.
+
+    Parity: cc_utils.py:460-490.  Inverse of mols_to_cc up to ring cells
+    (rank-2 cells carry no molecular information).
+    """
+    mols = []
+    use_rdkit = has_rdkit()
+    if use_rdkit:
+        from rdkit import Chem
+
+        bond_decoder = _bond_decoder()
+    else:
+        from ccsd_tpu.chem import Atom, Mol
+    for cc in ccs:
+        atoms = cc.cells.hyperedge_dict.get(0, {})
+        bonds = cc.cells.hyperedge_dict.get(1, {})
+        if use_rdkit:
+            mol = Chem.RWMol()
+            for atom in atoms:
+                mol.AddAtom(Chem.Atom(AN_TO_SYMBOL[atoms[atom]["symbol"]]))
+            for b in bonds:
+                u, v = tuple(b)
+                mol.AddBond(u, v, bond_decoder[bonds[b]["bond_type"]])
+            mols.append(mol.GetMol())
+        else:
+            mol = Mol()
+            for atom in atoms:
+                mol.AddAtom(Atom(AN_TO_SYMBOL[atoms[atom]["symbol"]]))
+            for b in bonds:
+                u, v = tuple(b)
+                mol.AddBond(u, v, int(bonds[b]["bond_type"]))
+            mols.append(mol)
+    return mols

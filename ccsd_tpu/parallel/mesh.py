@@ -5,8 +5,9 @@ The reference's only multi-device mechanism is torch DataParallel
 with named axes:
 
   * ``data``  — batch-parallel axis (DCN across hosts, ICI within);
-  * ``edge``  — edge-partition axis for the E- and K-dimension tensors of
-    the Hodge stack (see ccsd_tpu/parallel/edge_partition.py).
+  * ``edge``  — edge-partition axis for the E-dimension tensors of the
+    Hodge stack (GSPMD path: parallel/dp.py; explicit ring collectives:
+    parallel/ring.py; K/cell-axis sharding: parallel/kaxis.py).
 
 All training/sampling functions are ordinary jitted functions; placing
 sharded inputs (NamedSharding) makes XLA insert the psum/all-gather

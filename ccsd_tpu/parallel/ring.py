@@ -5,10 +5,21 @@ The GSPMD path (parallel/dp.py) lets XLA insert all-gathers for the E x E
 Hodge-dual contractions.  This module is the HAND path for pod scale: the
 E axis of every Hodge tensor is sharded over the mesh's 'edge' axis and the
 contractions run as a ppermute RING — each step multiplies the resident
-block while the next block is in flight on ICI, so communication overlaps
-compute and per-chip memory never holds the full E axis.  This is the
-scaling-book ring-matmul recipe applied to the Hodge dual; the reference
-has no distributed layer at all (SURVEY.md §2.11).
+block while the next block is in flight, and per-chip memory never holds
+the full E axis on the K-sized tensors.  This is the scaling-book
+ring-matmul recipe applied to the Hodge dual; the reference has no
+distributed layer at all (SURVEY.md §2.11).
+
+Overlap status (measured, round 3 — tools/ring_bench.py):
+  * XLA:TPU (AOT compile for v5e:2x4): 7 async collective-permute
+    start/done pairs (3 ring_gather_matmuls + 4 per-head ring_scores),
+    each with 1-2 dot/fusion ops scheduled between the start and its done
+    — the compiler does overlap the hop with the block matmul on TPU.
+  * XLA:CPU (the virtual 8-device test mesh): NO async pairs are emitted
+    (0/0) — the CPU backend serializes ppermute, so CPU-mesh wall-clock
+    comparisons vs GSPMD measure correctness, not the ring's ICI win
+    (round-2 CPU timings: E=703 dense 54 ms | gspmd 105 | ring 93;
+    E=1176 dense 84 | gspmd 107 | ring 140).
 
 All functions here are written to run INSIDE `jax.shard_map` with the edge
 axis named `axis_name`; equivalence against the dense single-device path is

@@ -151,6 +151,7 @@ class MolSampler(Sampler):
         )
 
         # NSPDK MMD vs test graphs (sampler.py:858-863)
+        test_nx = None
         if cfg.sample.get("nspdk", False):
             from ccsd_tpu.data.loader import load_dataset
             from ccsd_tpu.eval.mmd import compute_nspdk_mmd
@@ -162,6 +163,36 @@ class MolSampler(Sampler):
             metrics["nspdk_mmd"] = compute_nspdk_mmd(
                 test_nx, mols_to_nx(mols), metric="nspdk"
             )
+
+        # Lifted-CC evaluation of the generated molecules: both test and
+        # generated sets become CCs with rings as rank-2 cells, then CC-MMD
+        # (hodge spectrum + rank0/1/2) — the reference emits this for every
+        # molecule sampler run (sampler.py:869-877 graph / 1181+1268 CC;
+        # cc_utils.py:337-380 mols_to_cc).  Opt out with sample.cc_eval: false.
+        if cfg.sample.get("cc_eval", True):
+            try:
+                from ccsd_tpu.data.mol_utils import mols_to_cc, nxs_to_mols
+                from ccsd_tpu.eval.cc_stats import eval_CC_list
+                from ccsd_tpu.sampling.sampler import worker_kwargs_from_config
+
+                if test_nx is None:
+                    from ccsd_tpu.data.loader import load_dataset
+
+                    test_nx = load_dataset(
+                        os.path.join(cfg.get("folder", "./"), "data"),
+                        f"{dataset.lower()}_test_nx",
+                    )
+                test_cc = mols_to_cc(nxs_to_mols(test_nx))
+                gen_cc = mols_to_cc(mols)
+                cc_mmd = eval_CC_list(
+                    test_cc, gen_cc,
+                    worker_kwargs_from_config(cfg.data),
+                    cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
+                )
+                for k, v in cc_mmd.items():
+                    metrics[f"cc_{k}"] = v
+            except Exception as e:  # CC eval must never kill a mol run
+                self.logger.log(f"lifted-CC eval failed: {e}")
 
         out_dir = os.path.join(cfg.get("folder", "./"), "samples", dataset)
         os.makedirs(out_dir, exist_ok=True)

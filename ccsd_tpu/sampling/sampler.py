@@ -84,6 +84,18 @@ def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
     return maker(sde_x, sde_adj, shape_x, shape_adj, **kwargs)
 
 
+def worker_kwargs_from_config(data_cfg) -> Dict[str, Any]:
+    """CC-eval worker kwargs from a config's data section.
+
+    Parity: ccsd/src/sampler.py:121-131 (same nine fields)."""
+    return dict(
+        min_node_val=data_cfg.min_node_val, max_node_val=data_cfg.max_node_val,
+        node_label=data_cfg.node_label, min_edge_val=data_cfg.min_edge_val,
+        max_edge_val=data_cfg.max_edge_val, edge_label=data_cfg.edge_label,
+        d_min=data_cfg.d_min, d_max=data_cfg.d_max, N=data_cfg.max_node_num,
+    )
+
+
 class Sampler:
     """Generic-graph / CC sampler with MMD evaluation."""
 
@@ -249,21 +261,33 @@ class Sampler:
             results["mmd"] = eval_graph_list(
                 test_graphs, results["graphs"], methods=methods, kernels=kernels
             )
+            # worker kwargs come from the SAMPLE config (reference
+            # sampler.py:121-131 uses self.config, not configt)
+            worker_kwargs = worker_kwargs_from_config(cfg.data)
             if self.is_cc:
                 from ccsd_tpu.eval.cc_stats import eval_CC_list
 
-                worker_kwargs = dict(
-                    d_min=configt.data.d_min, d_max=configt.data.d_max,
-                    N=configt.data.max_node_num,
-                    min_node_val=configt.data.min_node_val,
-                    max_node_val=configt.data.max_node_val,
-                    node_label=configt.data.node_label,
-                    min_edge_val=configt.data.min_edge_val,
-                    max_edge_val=configt.data.max_edge_val,
-                    edge_label=configt.data.edge_label,
-                )
                 results["cc_mmd"] = eval_CC_list(
                     test_objs, results["ccs"], worker_kwargs,
+                    cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
+                )
+            elif cfg.data.get("lifting_procedure"):
+                # lift test + generated graphs to CCs and CC-eval them —
+                # the reference does this for EVERY graph sampler run, with
+                # the lift read from the SAMPLE config (sampler.py:259-290)
+                from ccsd_tpu.data.cc_codec import convert_graphs_to_CCs
+                from ccsd_tpu.eval.cc_stats import eval_CC_list
+
+                lift_kw = dict(
+                    lifting_procedure=cfg.data.lifting_procedure,
+                    lifting_procedure_kwargs=cfg.data.get(
+                        "lifting_procedure_kwargs"),
+                    max_nb_nodes=cfg.data.max_node_num,
+                )
+                test_cc = convert_graphs_to_CCs(test_graphs, **lift_kw)
+                gen_cc = convert_graphs_to_CCs(results["graphs"], **lift_kw)
+                results["cc_mmd"] = eval_CC_list(
+                    test_cc, gen_cc, worker_kwargs,
                     cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
                 )
             for k, v in (results.get("mmd") or {}).items():

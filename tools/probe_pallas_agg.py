@@ -4,7 +4,10 @@ GCN aggregation at sampler shapes?
 
 The contraction nx[c,n,f,b] = sum_m norm[c,n,m,b] * x[m,f,b] is the
 XLA-unfriendly op of the fused AttentionLayer (B=128 in lanes, tiny N=20):
-measured 128.6 us in-scan via XLA (0.20 TFLOP/s vs a ~13.5 us VPU floor).
+measured 128.6 us in-scan via XLA on an early run (0.20 TFLOP/s vs a
+~13.5 us VPU floor); the DESIGN_NOTES table's 150 us / 0.18 TFLOP/s row is
+a later fresh run of this same probe — run-to-run spread on the tunnel is
+~15%, and the conclusion (XLA == Pallas at these shapes) holds at both.
 If a VMEM-resident Pallas kernel lands near the floor, the full fused
 AttentionLayer kernel (ROADMAP #1) is worth building; if it also sits at
 ~125 us the overhead is per-instruction issue cost that neither compiler
