@@ -6,6 +6,7 @@ pipeline.py (reference-parity construct/correct/segment functions).
 """
 
 from ccsd_tpu.chem.mol import Atom, Bond, Mol, check_valency, permitted_valences
+from ccsd_tpu.chem.parser import SmilesError, from_smiles
 from ccsd_tpu.chem.pipeline import (
     construct_mol,
     correct_mol,
@@ -21,4 +22,5 @@ __all__ = [
     "construct_mol", "correct_mol", "valid_mol_can_with_seg",
     "mol_to_nx", "mol_from_nx", "mol_to_smiles",
     "to_smiles", "largest_fragment", "canonical_ranks",
+    "from_smiles", "SmilesError",
 ]

@@ -14,6 +14,12 @@ refinement-failure cases (large regular graphs) do not occur at molecular
 sizes.  Strings are canonical within THIS writer — not byte-identical to
 RDKit's — which is exactly what uniqueness/novelty comparisons need as long
 as both sides of the comparison run through the same writer.
+
+The partition property (same molecule under any atom order / spelling ->
+one string; different molecules -> different strings) is pinned in
+tests/chem/test_canonical_partition.py via exact atom relabelings through
+the round-3 parser (chem/parser.py) and a hand-verified golden table of
+RDKit-canonical spellings.
 """
 
 from __future__ import annotations

@@ -65,20 +65,30 @@ def mols_to_smiles(mols) -> List[str]:
 
 
 def smiles_to_mols(smiles: List[str]):
-    from rdkit import Chem
+    if has_rdkit():
+        from rdkit import Chem
 
-    return [Chem.MolFromSmiles(s) for s in smiles]
+        return [Chem.MolFromSmiles(s) for s in smiles]
+    from ccsd_tpu.chem import from_smiles
+
+    return [from_smiles(s) for s in smiles]
 
 
 def canonicalize_smiles(smiles: List[str]) -> List[str]:
-    """Re-canonicalize SMILES strings.  Without RDKit there is no SMILES
-    parser; strings produced by the vendored writer are already canonical
-    (chem/smiles.py), so they pass through unchanged."""
+    """Re-canonicalize SMILES strings through whichever backend is live
+    (RDKit, else the vendored parser + canonical writer — round 3; strings
+    that fail to parse pass through unchanged)."""
     if has_rdkit():
         from rdkit import Chem
 
         return [Chem.MolToSmiles(Chem.MolFromSmiles(s)) for s in smiles]
-    return list(smiles)
+    from ccsd_tpu.chem import from_smiles, to_smiles
+
+    out = []
+    for s in smiles:
+        mol = from_smiles(s)
+        out.append(to_smiles(mol) if mol is not None else s)
+    return out
 
 
 def load_smiles(dataset: str = "QM9", folder: str = "./"):

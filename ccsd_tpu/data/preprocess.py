@@ -5,7 +5,12 @@ ccsd/data/utils/smile_to_graph.py:20-154 (GGNN-style featurization, MoFlow
 lineage): atomic-number arrays padded to out_size, and a (4, N, N) one-hot
 bond tensor over {single, double, triple, aromatic}; kekulized so aromatic
 bonds become alternating single/double.  Also preprocess_for_nspdk
-(ccsd/data/preprocess_for_nspdk.py:25-79).  Requires RDKit.
+(ccsd/data/preprocess_for_nspdk.py:25-79).
+
+Dual backend (round 3): RDKit when importable, else the vendored chem
+kernel's SMILES parser + kekulizer (chem/parser.py) — the CSV -> npz path
+now executes in RDKit-free environments (golden-tested in
+tests/data/test_preprocess.py).
 
 CLI: python -m ccsd_tpu.data.preprocess --dataset QM9 [--folder ./]
 """
@@ -23,6 +28,10 @@ def smiles_to_graph_arrays(
     smiles: str, max_atoms: int, out_size: int, kekulize: bool = True
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """One SMILES -> (atomic-number array (out_size,), bond tensor (4,N,N))."""
+    from ccsd_tpu.data.mol_utils import has_rdkit
+
+    if not has_rdkit():
+        return _smiles_to_graph_arrays_chem(smiles, max_atoms, out_size)
     from rdkit import Chem
 
     mol = Chem.MolFromSmiles(smiles)
@@ -50,6 +59,32 @@ def smiles_to_graph_arrays(
         ch = channel[bond.GetBondType()]
         i, j = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
         adjs[ch, i, j] = adjs[ch, j, i] = 1.0
+    return atom_array, adjs
+
+
+def _smiles_to_graph_arrays_chem(
+    smiles: str, max_atoms: int, out_size: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Chem-kernel backend: vendored parser emits kekulized bond orders
+    directly, so the aromatic channel (3) stays empty — exactly what the
+    reference produces after Chem.Kekulize (smile_to_graph.py:20-154)."""
+    from ccsd_tpu.chem import from_smiles
+
+    mol = from_smiles(smiles)
+    if mol is None or mol.GetNumAtoms() > max_atoms:
+        return None
+    n = mol.GetNumAtoms()
+    atom_array = np.zeros(out_size, dtype=np.int32)
+    atom_array[:n] = np.array(
+        [a.GetAtomicNum() for a in mol.GetAtoms()], dtype=np.int32
+    )
+    adjs = np.zeros((4, out_size, out_size), dtype=np.float32)
+    for bond in mol.GetBonds():
+        order = int(bond.GetBondTypeAsDouble())
+        if order not in (1, 2, 3):
+            return None
+        i, j = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+        adjs[order - 1, i, j] = adjs[order - 1, j, i] = 1.0
     return atom_array, adjs
 
 
