@@ -11,6 +11,10 @@ primitives with the same definitions:
   * novelty            — fraction of unique valid SMILES not in train set;
   * FCD                — requires the pretrained ChemNet weights of the `fcd`
                          package; gated (returns None when unavailable);
+  * SNN / Frag / Scaf  — MOSES similarity metrics vs the test set, computed
+                         natively on the chem kernel's Morgan fingerprints,
+                         BRICS-lite fragments and Bemis-Murcko scaffolds
+                         (ccsd_tpu.chem.fingerprints);
   * NSPDK MMD          — via ccsd_tpu.eval.mmd.compute_nspdk_mmd.
 """
 
@@ -59,6 +63,33 @@ def fcd_score(smiles: Sequence[str], ref_smiles: Sequence[str]) -> Optional[floa
     return float(fcd.get_fcd(list(smiles), list(ref_smiles)))
 
 
+def snn_frag_scaf(gen_mols, test_smiles: Sequence[str]
+                  ) -> Dict[str, Optional[float]]:
+    """MOSES SNN / Frag / Scaf of generated molecules vs the test set.
+
+    Both sides run through the chem kernel (test SMILES are parsed with
+    chem.from_smiles), so the fingerprints/fragments/scaffolds are computed
+    by one implementation.  Reference emits these via MOSES
+    get_all_metrics (sampler.py:850-857).
+    """
+    from ccsd_tpu.chem import from_smiles
+    from ccsd_tpu.chem.fingerprints import (
+        frag_similarity,
+        scaf_similarity,
+        snn_similarity,
+    )
+
+    gen = [m for m in gen_mols if m is not None]
+    ref = [m for m in (from_smiles(s) for s in test_smiles) if m is not None]
+    if not gen or not ref:
+        return {"SNN/Test": None, "Frag/Test": None, "Scaf/Test": None}
+    return {
+        "SNN/Test": snn_similarity(gen, ref),
+        "Frag/Test": frag_similarity(gen, ref),
+        "Scaf/Test": scaf_similarity(gen, ref),
+    }
+
+
 def get_all_metrics(
     gen_mols,
     n_generated: int,
@@ -76,6 +107,7 @@ def get_all_metrics(
         "novelty": novelty(smiles, train_smiles),
         "FCD/Test": fcd_score(smiles, test_smiles),
     }
+    metrics.update(snn_frag_scaf(gen_mols, test_smiles))
     for k in k_list:
         if len(smiles) >= k:
             metrics[f"unique@{k}"] = fraction_unique(smiles, k)

@@ -1,0 +1,137 @@
+"""Tests for the native Morgan/ECFP fingerprints, Bemis-Murcko scaffolds
+and BRICS-lite fragments backing the MOSES SNN/Frag/Scaf metrics.
+
+Reference counterpart: MOSES get_all_metrics as called from
+ccsd/src/sampler.py:850-857 (external package there; native here).
+"""
+
+import numpy as np
+import pytest
+
+from ccsd_tpu.chem import from_smiles
+from ccsd_tpu.chem.fingerprints import (
+    bemis_murcko_scaffold,
+    frag_similarity,
+    fragment_counts,
+    morgan_fingerprint,
+    scaf_similarity,
+    snn_similarity,
+    tanimoto_matrix,
+)
+
+
+def _mol(s):
+    m = from_smiles(s)
+    assert m is not None, s
+    return m
+
+
+def test_fingerprint_deterministic_and_shape():
+    m = _mol("CC(=O)Oc1ccccc1C(=O)O")
+    a = morgan_fingerprint(m, radius=2, n_bits=2048)
+    b = morgan_fingerprint(m, radius=2, n_bits=2048)
+    assert a.shape == (2048,) and a.dtype == bool
+    assert np.array_equal(a, b)
+    assert a.sum() > 0
+
+
+def test_fingerprint_invariant_to_atom_order():
+    # same molecule written from two different starting atoms
+    a = morgan_fingerprint(_mol("Cc1ccccc1O"))
+    b = morgan_fingerprint(_mol("Oc1ccccc1C"))
+    assert np.array_equal(a, b)
+
+
+def test_tanimoto_structure():
+    benzene = morgan_fingerprint(_mol("c1ccccc1"))
+    toluene = morgan_fingerprint(_mol("Cc1ccccc1"))
+    hexane = morgan_fingerprint(_mol("CCCCCC"))
+
+    def tani(x, y):
+        return (x & y).sum() / (x | y).sum()
+
+    assert tani(benzene, benzene) == 1.0
+    # shared aromatic environments > shared with an aliphatic chain
+    assert tani(benzene, toluene) > tani(benzene, hexane)
+    assert tani(benzene, hexane) == 0.0
+
+
+def test_tanimoto_matrix_matches_pairwise():
+    mols = [_mol(s) for s in ("c1ccccc1", "Cc1ccccc1", "CCO", "CC(=O)O")]
+    fps = np.stack([morgan_fingerprint(m) for m in mols])
+    M = tanimoto_matrix(fps, fps)
+    assert M.shape == (4, 4)
+    assert np.allclose(np.diag(M), 1.0)
+    for i in range(4):
+        for j in range(4):
+            inter = (fps[i] & fps[j]).sum()
+            union = (fps[i] | fps[j]).sum()
+            assert M[i, j] == pytest.approx(inter / union, abs=1e-6)
+
+
+def test_scaffold_acyclic_is_empty():
+    assert bemis_murcko_scaffold(_mol("CCCCCC")) == ""
+    assert bemis_murcko_scaffold(_mol("CC(=O)O")) == ""
+
+
+def test_scaffold_strips_side_chains():
+    # toluene, phenol, aspirin all reduce to the benzene framework
+    scafs = {
+        bemis_murcko_scaffold(_mol(s))
+        for s in ("Cc1ccccc1", "Oc1ccccc1", "CC(=O)Oc1ccccc1C(=O)O")
+    }
+    assert len(scafs) == 1
+    assert scafs == {bemis_murcko_scaffold(_mol("c1ccccc1"))}
+
+
+def test_scaffold_keeps_linker_between_rings():
+    # biphenyl-methane: both rings + the CH2 linker survive
+    scaf = bemis_murcko_scaffold(_mol("c1ccccc1Cc1ccccc1"))
+    m = from_smiles(scaf)
+    assert m is not None and m.GetNumAtoms() == 13
+
+
+def test_scaffold_keeps_exocyclic_double_bond():
+    # cyclohexanone: the =O rides along with the ring
+    scaf = bemis_murcko_scaffold(_mol("O=C1CCCCC1"))
+    m = from_smiles(scaf)
+    assert m is not None and m.GetNumAtoms() == 7
+
+
+def test_fragment_counts_cut_rules():
+    # toluene: one ring<->chain cut -> methane + benzene fragments
+    frags = fragment_counts(_mol("Cc1ccccc1"))
+    assert sum(frags.values()) == 2
+    # benzene itself: no cuts -> one fragment
+    assert sum(fragment_counts(_mol("c1ccccc1")).values()) == 1
+    # acetamide: amide C-N cleavage
+    assert sum(fragment_counts(_mol("CC(=O)NC")).values()) >= 2
+
+
+def test_snn_bounds_and_identity():
+    gen = [_mol(s) for s in ("Cc1ccccc1", "Oc1ccccc1")]
+    assert snn_similarity(gen, gen) == pytest.approx(1.0)
+    other = [_mol("CCCCCC")]
+    v = snn_similarity(gen, other)
+    assert 0.0 <= v < 0.5
+    assert snn_similarity([], gen) == 0.0
+
+
+def test_frag_scaf_similarity_bounds():
+    gen = [_mol(s) for s in ("Cc1ccccc1", "CC(=O)O")]
+    ref = [_mol(s) for s in ("Oc1ccccc1", "CCO")]
+    for fn in (frag_similarity, scaf_similarity):
+        v = fn(gen, ref)
+        assert 0.0 <= v <= 1.0
+        assert fn(gen, gen) == pytest.approx(1.0)
+
+
+def test_get_all_metrics_includes_snn_frag_scaf():
+    from ccsd_tpu.eval.mol_metrics import get_all_metrics
+
+    gen = [_mol(s) for s in ("Cc1ccccc1", "Oc1ccccc1", "CCO")]
+    test_smiles = ["c1ccccc1", "CCO", "CC(=O)O"]
+    m = get_all_metrics(gen, 4, ["CCO"], test_smiles, num_no_correct=3)
+    for k in ("SNN/Test", "Frag/Test", "Scaf/Test"):
+        assert m[k] is not None and 0.0 <= m[k] <= 1.0
+    assert m["validity"] == pytest.approx(0.75)
