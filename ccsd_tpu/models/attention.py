@@ -110,6 +110,13 @@ class AttentionLayer:
     conv: str = "GCN"
     use_bn: bool = False
     fused: bool = False  # channel-folded fast path (identical numerics)
+    # lowering choices for the two hot contractions of the fused path
+    # (same math; see tools/fastpath_probe.py for on-chip measurements):
+    #   scores_impl: "mulreduce" (VPU broadcast-multiply-reduce) | "dot"
+    #                (batched MXU dot via einsum) | "dot_bf16"
+    #   agg_impl:    "mulreduce" | "dot" | "dot_bf16"
+    scores_impl: str = "mulreduce"
+    agg_impl: str = "mulreduce"
 
     @property
     def attn(self) -> Attention:
@@ -216,6 +223,16 @@ class AttentionLayer:
         """
         from ccsd_tpu.models.gcn import gcn_norm
 
+        def agg(norm, x):
+            # nx[b,c,n,f] = sum_m norm[b,c,n,m] x[b,m,f]
+            if self.agg_impl == "mulreduce":
+                return (norm[..., None] * x[:, None, None, :, :]).sum(axis=3)
+            dt = jnp.bfloat16 if self.agg_impl == "dot_bf16" else norm.dtype
+            out = jnp.einsum(
+                "bcnm,bmf->bcnf", norm.astype(dt), x.astype(dt)
+            )
+            return out.astype(norm.dtype)
+
         attn = self.attn
         A_dim, O = attn.attn_dim, attn.out_dim
         ds = attn.head_dim
@@ -235,7 +252,7 @@ class AttentionLayer:
             )  # (C, 2A+O)
             F_in = W.shape[1]
             P = W.shape[-1]
-            nx = (norm[..., None] * x[:, None, None, :, :]).sum(axis=3)  # (B,C,N,F)
+            nx = agg(norm, x)  # (B, C, N, F)
             # block-diagonal (C*F, C*P) so all C channel matmuls are one dot
             Wblk = (jnp.eye(C)[:, None, :, None] * W[:, :, None, :]).reshape(
                 C * F_in, C * P
@@ -266,7 +283,7 @@ class AttentionLayer:
                 jnp.einsum("bcnh,chp->bcnp", h1[..., hid:], sp["k"]["linears"][1]["w"])
                 + sp["k"]["linears"][1]["b"][None, :, None, :]
             )
-            nx = (norm[..., None] * x[:, None, None, :, :]).sum(axis=3)  # (B,C,N,F)
+            nx = agg(norm, x)  # (B, C, N, F)
             V = (
                 jnp.einsum("bcnf,cfo->bcno", nx, sp["v"]["weight"])
                 + sp["v"]["bias"][None, :, None, :]
@@ -282,8 +299,31 @@ class AttentionLayer:
         # tanh + head-mean without any relayout copies.
         Qh = Q.reshape(B, C, N, H, ds)
         Kh = K.reshape(B, C, N, H, ds)
-        scores = (Qh[:, :, :, None, :, :] * Kh[:, :, None, :, :, :]).sum(-1)
-        att = jnp.tanh(scores / math.sqrt(O)).mean(axis=-1)  # (B, C, N, N)
+        if self.scores_impl == "mulreduce":
+            scores = (Qh[:, :, :, None, :, :] * Kh[:, :, None, :, :, :]).sum(-1)
+            att = jnp.tanh(scores / math.sqrt(O)).mean(axis=-1)  # (B, C, N, N)
+        elif self.scores_impl in ("mulreduce_h", "mulreduce_h_bf16"):
+            # head loop unrolled in Python: each head's (B, C, N, N) fusion
+            # tiles as T(8,128) instead of the H-minor T(4,128) layout XLA
+            # picks for the stacked (B, C, N, N, H) variant (50% sublane
+            # waste measured in tools/profile_sampler.py)
+            if self.scores_impl.endswith("bf16"):
+                Qh = Qh.astype(jnp.bfloat16)
+                Kh = Kh.astype(jnp.bfloat16)
+            acc = None
+            for h in range(H):
+                s = (Qh[:, :, :, None, h, :] * Kh[:, :, None, :, h, :]).sum(-1)
+                t = jnp.tanh(s.astype(jnp.float32) / math.sqrt(O))
+                acc = t if acc is None else acc + t
+            att = acc / H
+        else:
+            dt = jnp.bfloat16 if self.scores_impl == "dot_bf16" else Qh.dtype
+            scores = jnp.einsum(
+                "bcnhd,bcmhd->bchnm", Qh.astype(dt), Kh.astype(dt)
+            )
+            att = jnp.tanh(
+                scores.astype(jnp.float32) / math.sqrt(O)
+            ).mean(axis=2)
         att = (att + jnp.swapaxes(att, -1, -2)) / 2  # symmetrize
 
         x_out = self.multi_channel.apply(

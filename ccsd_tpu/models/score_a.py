@@ -103,26 +103,30 @@ class BaselineNetworkLayer:
 
 def _a_layers(cls, cfg) -> list:
     """Shared first/mid/last layer-stack construction (ScoreNetwork_A.py:404-448)."""
-    fused = getattr(cfg, "fused", False)
+    kw = dict(
+        fused=getattr(cfg, "fused", False),
+        scores_impl=getattr(cfg, "scores_impl", "mulreduce"),
+        agg_impl=getattr(cfg, "agg_impl", "mulreduce"),
+    )
     out = []
     for k in range(cfg.num_layers):
         if k == 0:
             out.append(
                 cls(cfg.num_linears, cfg.max_feat_num, cfg.nhid, cfg.nhid,
                     cfg.c_init, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn,
-                    fused=fused)
+                    **kw)
             )
         elif k == cfg.num_layers - 1:
             out.append(
                 cls(cfg.num_linears, cfg.nhid, cfg.adim, cfg.nhid,
                     cfg.c_hid, cfg.c_final, cfg.num_heads, cfg.conv, cfg.use_bn,
-                    fused=fused)
+                    **kw)
             )
         else:
             out.append(
                 cls(cfg.num_linears, cfg.nhid, cfg.adim, cfg.nhid,
                     cfg.c_hid, cfg.c_hid, cfg.num_heads, cfg.conv, cfg.use_bn,
-                    fused=fused)
+                    **kw)
             )
     return out
 
@@ -145,6 +149,13 @@ class ScoreNetworkA:
     use_bn: bool = False
     is_cc: bool = False
     fused: bool = False  # channel-folded attention fast path (same params)
+    scores_impl: str = "mulreduce"  # fused-path lowering (attention.py)
+    agg_impl: str = "mulreduce"
+    # final-MLP first layer over the channel concat: "concat" materializes
+    # the (B, N, N, fdim) tensor like the reference; "blocksum" applies the
+    # matching weight slice per adj_list block and sums (identical math, no
+    # channels-last concatenate — that concat measured 36 us/eval on v5e)
+    final_impl: str = "concat"
 
     @property
     def layers(self) -> list[AttentionLayer]:
@@ -180,8 +191,28 @@ class ScoreNetworkA:
         for layer, p in zip(self.layers, params["layers"]):
             h, adjc = layer.apply(p, h, adjc, flags)
             adj_list.append(adjc)
-        adjs = jnp.moveaxis(jnp.concatenate(adj_list, axis=1), 1, -1)
-        score = self.final.apply(params["final"], adjs)[..., 0]
+        if self.final_impl == "blocksum":
+            # first Linear of the final MLP, one weight slice per block of
+            # the channel concat — avoids materializing the concatenated
+            # channels-last (B, N, N, fdim) tensor
+            fp = params["final"]
+            w1, b1 = fp["linears"][0]["w"], fp["linears"][0]["b"]
+            off, h1 = 0, b1
+            for blk in adj_list:
+                c = blk.shape[1]
+                h1 = h1 + jnp.einsum("bcnm,ch->bnmh", blk, w1[off:off + c])
+                off += c
+            assert not self.use_bn, "blocksum final path assumes use_bn=False"
+            act = jax.nn.elu
+            hh = act(h1)
+            for i, lp in enumerate(fp["linears"][1:], start=1):
+                hh = hh @ lp["w"] + lp["b"]
+                if i < len(fp["linears"]) - 1:
+                    hh = act(hh)
+            score = hh[..., 0]
+        else:
+            adjs = jnp.moveaxis(jnp.concatenate(adj_list, axis=1), 1, -1)
+            score = self.final.apply(params["final"], adjs)[..., 0]
         score = score * default_mask(self.max_node_num)[None]
         return mask_adjs(score, flags)
 

@@ -79,9 +79,13 @@ class ScoreNetworkX_GMH:
     use_bn: bool = False
     is_cc: bool = False
     fused: bool = False  # channel-folded attention fast path (same params)
+    scores_impl: str = "mulreduce"  # fused-path lowering (attention.py)
+    agg_impl: str = "mulreduce"
 
     @property
     def layers(self) -> list[AttentionLayer]:
+        kw = dict(fused=self.fused, scores_impl=self.scores_impl,
+                  agg_impl=self.agg_impl)
         out = []
         for k in range(self.depth):
             if k == 0:
@@ -89,7 +93,7 @@ class ScoreNetworkX_GMH:
                     AttentionLayer(
                         self.num_linears, self.max_feat_num, self.nhid, self.nhid,
                         self.c_init, self.c_hid, self.num_heads, self.conv, self.use_bn,
-                        fused=self.fused,
+                        **kw,
                     )
                 )
             elif k == self.depth - 1:
@@ -97,7 +101,7 @@ class ScoreNetworkX_GMH:
                     AttentionLayer(
                         self.num_linears, self.nhid, self.adim, self.nhid,
                         self.c_hid, self.c_final, self.num_heads, self.conv, self.use_bn,
-                        fused=self.fused,
+                        **kw,
                     )
                 )
             else:
@@ -105,7 +109,7 @@ class ScoreNetworkX_GMH:
                     AttentionLayer(
                         self.num_linears, self.nhid, self.adim, self.nhid,
                         self.c_hid, self.c_hid, self.num_heads, self.conv, self.use_bn,
-                        fused=self.fused,
+                        **kw,
                     )
                 )
         return out
