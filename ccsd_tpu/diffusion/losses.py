@@ -37,7 +37,9 @@ def get_score_fn(sde: SDE, model, params) -> Callable:
         def score_fn(x, adj, flags, t):
             out = model.apply(params, x, adj, flags=flags)
             std = sde.marginal_std(t)
-            return -out / _bcast(std, out)
+            # match the model's dtype so a bf16 fast path is not silently
+            # promoted back to f32 by the f32 std scalar
+            return -out / _bcast(std, out).astype(out.dtype)
 
     elif isinstance(sde, VESDE):
 
@@ -59,7 +61,7 @@ def get_score_fn_cc(sde: SDE, model, params) -> Callable:
         def score_fn(x, adj, rank2, flags, t):
             out = model.apply(params, x, adj, rank2, flags=flags)
             std = sde.marginal_std(t)
-            return -out / _bcast(std, out)
+            return -out / _bcast(std, out).astype(out.dtype)
 
     elif isinstance(sde, VESDE):
 

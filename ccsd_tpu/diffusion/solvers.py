@@ -54,7 +54,12 @@ class SamplerOutput(NamedTuple):
 
 
 def _batch_norm_mean(v: jnp.ndarray) -> jnp.ndarray:
-    """Mean over the batch of per-sample L2 norms (solver.py:695-698)."""
+    """Mean over the batch of per-sample L2 norms (solver.py:695-698).
+
+    Accumulates in f32 regardless of input dtype — with the bf16 sampling
+    mode the sum of ~3e7 squares would otherwise lose all precision.
+    """
+    v = v.astype(jnp.float32)
     return jnp.linalg.norm(v.reshape(v.shape[0], -1), axis=-1).mean()
 
 
@@ -64,8 +69,8 @@ def _langevin_step(sde: SDE, score, v, noise, t, snr, scale_eps):
     grad_norm = _batch_norm_mean(score)
     noise_norm = _batch_norm_mean(noise)
     step_size = (snr * noise_norm / grad_norm) ** 2 * 2 * alpha
-    v_mean = v + _bcast(step_size, v) * score
-    v = v_mean + _bcast(jnp.sqrt(step_size * 2), v) * noise * scale_eps
+    v_mean = v + _bcast(step_size, v).astype(v.dtype) * score
+    v = v_mean + _bcast(jnp.sqrt(step_size * 2), v).astype(v.dtype) * noise * scale_eps
     return v, v_mean
 
 
@@ -157,6 +162,7 @@ def get_pc_sampler(
     shape_rank2: Optional[Sequence[int]] = None,
     spec: Optional[ComplexSpec] = None,
     record_trajectory: bool = False,
+    carry_dtype=None,
 ) -> Callable:
     """Build a scanned PC sampler.
 
@@ -164,11 +170,22 @@ def get_pc_sampler(
     CC mode additionally takes ``score_fn_rank2``.  Score functions have the
     reference signatures ((x, adj, flags, t) or (x, adj, rank2, flags, t)).
     The caller closes params into the score fns and may jit the result.
+
+    ``carry_dtype=jnp.bfloat16`` runs the reverse diffusion with bf16 sample
+    tensors, scores and noise (norm reductions stay f32): at CC shapes the
+    hot loop is HBM-bound on (B, E, K) streams (tools/profile_cc_sampler.py),
+    so halving the bytes is the dominant lever.  No reference counterpart
+    (the reference is f64-default torch on CPU); quality is gated by the MMD
+    sweep, see BASELINE.md.
     """
     shape_x = tuple(shape_x)
     shape_adj = tuple(shape_adj)
     diff_steps = sde_adj.N
     timesteps = jnp.linspace(sde_adj.T, eps, diff_steps)
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else None
+
+    def _cast(v):
+        return v.astype(cdt) if cdt is not None else v
 
     corr_x = _make_corrector(corrector, "x", sde_x, snr, scale_eps, n_steps, spec)
     corr_adj = _make_corrector(corrector, "adj", sde_adj, snr, scale_eps, n_steps, spec)
@@ -186,12 +203,16 @@ def get_pc_sampler(
 
         def sampler(score_fn_x, score_fn_adj, init_flags, key):
             flags = init_flags
+            if cdt is not None:
+                sfx, sfa = score_fn_x, score_fn_adj
+                score_fn_x = lambda *a: sfx(*a).astype(cdt)  # noqa: E731
+                score_fn_adj = lambda *a: sfa(*a).astype(cdt)  # noqa: E731
             kx, kadj, kscan = jax.random.split(key, 3)
-            x = mask_x(sde_x.prior_sampling(kx, shape_x), flags)
-            adj = mask_adjs(sde_adj.prior_sampling_sym(kadj, shape_adj), flags)
+            x = _cast(mask_x(sde_x.prior_sampling(kx, shape_x), flags))
+            adj = _cast(mask_adjs(sde_adj.prior_sampling_sym(kadj, shape_adj), flags))
 
             def step(carry, it):
-                x, adj, _, _ = carry
+                x, adj = carry
                 i, t = it
                 vec_t = jnp.full((shape_adj[0],), t)
                 k = jax.random.fold_in(kscan, i)
@@ -213,14 +234,28 @@ def get_pc_sampler(
                     k4, lambda v: score_fn_adj(_x, v, flags, vec_t), adj, flags, vec_t
                 )
                 out = (x_mean[0], adj_mean[0]) if record_trajectory else None
-                return (x, adj, x_mean, adj_mean), out
+                return (_cast(x), _cast(adj)), ((x_mean, adj_mean), out)
 
-            its = (jnp.arange(diff_steps), timesteps)
-            init = (x, adj, jnp.zeros_like(x), jnp.zeros_like(adj))
-            (x, adj, x_mean, adj_mean), traj = jax.lax.scan(step, init, its)
+            # the denoising means are only needed from the LAST step, so the
+            # scan carries just (x, adj) (the reference stacks nothing either
+            # — solver.py:1123-1150); the final step runs un-scanned, halving
+            # the carry traffic of the hot loop
+            def scan_body(carry, it):
+                carry, (_means, out) = step(carry, it)  # means DCE'd in-scan
+                return carry, out
+
+            its = (jnp.arange(diff_steps - 1), timesteps[:-1])
+            (x, adj), traj = jax.lax.scan(scan_body, (x, adj), its)
+            last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
+            (x, adj), ((x_mean, adj_mean), last_out) = step((x, adj), last_it)
+            if record_trajectory:
+                traj = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
+                )
+            f32 = lambda v: v.astype(jnp.float32)  # noqa: E731
             return SamplerOutput(
-                x=x_mean if denoise else x,
-                adj=adj_mean if denoise else adj,
+                x=f32(x_mean if denoise else x),
+                adj=f32(adj_mean if denoise else adj),
                 rank2=None,
                 n_model_evals=diff_steps * (n_steps + 1),
                 trajectory=traj,
@@ -230,13 +265,20 @@ def get_pc_sampler(
 
     def sampler_cc(score_fn_x, score_fn_adj, score_fn_rank2, init_flags, key):
         flags = init_flags
+        if cdt is not None:
+            sfx, sfa, sfr = score_fn_x, score_fn_adj, score_fn_rank2
+            score_fn_x = lambda *a: sfx(*a).astype(cdt)  # noqa: E731
+            score_fn_adj = lambda *a: sfa(*a).astype(cdt)  # noqa: E731
+            score_fn_rank2 = lambda *a: sfr(*a).astype(cdt)  # noqa: E731
         kx, kadj, kr2, kscan = jax.random.split(key, 4)
-        x = mask_x(sde_x.prior_sampling(kx, shape_x), flags)
-        adj = mask_adjs(sde_adj.prior_sampling_sym(kadj, shape_adj), flags)
-        rank2 = mask_rank2(sde_rank2.prior_sampling(kr2, shape_rank2), spec, flags)
+        x = _cast(mask_x(sde_x.prior_sampling(kx, shape_x), flags))
+        adj = _cast(mask_adjs(sde_adj.prior_sampling_sym(kadj, shape_adj), flags))
+        rank2 = _cast(
+            mask_rank2(sde_rank2.prior_sampling(kr2, shape_rank2), spec, flags)
+        )
 
         def step(carry, it):
-            x, adj, rank2, _, _, _ = carry
+            x, adj, rank2 = carry
             i, t = it
             vec_t = jnp.full((shape_adj[0],), t)
             k = jax.random.fold_in(kscan, i)
@@ -268,18 +310,32 @@ def get_pc_sampler(
             out = (
                 (x_mean[0], adj_mean[0], rank2_mean[0]) if record_trajectory else None
             )
-            return (x, adj, rank2, x_mean, adj_mean, rank2_mean), out
+            return (_cast(x), _cast(adj), _cast(rank2)), (
+                (x_mean, adj_mean, rank2_mean), out)
 
-        its = (jnp.arange(diff_steps), timesteps)
-        init = (x, adj, rank2, jnp.zeros_like(x), jnp.zeros_like(adj),
-                jnp.zeros_like(rank2))
-        (x, adj, rank2, x_mean, adj_mean, rank2_mean), traj = jax.lax.scan(
-            step, init, its
+        # carry only the sample tensors; the rank-2 means alone are 111 MB at
+        # community_small_CC shapes, and carrying them doubled the hot loop's
+        # HBM traffic (see tools/profile_cc_sampler.py) — the last step runs
+        # un-scanned to produce the denoising means
+        def scan_body(carry, it):
+            carry, (_means, out) = step(carry, it)
+            return carry, out
+
+        its = (jnp.arange(diff_steps - 1), timesteps[:-1])
+        (x, adj, rank2), traj = jax.lax.scan(scan_body, (x, adj, rank2), its)
+        last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
+        (x, adj, rank2), ((x_mean, adj_mean, rank2_mean), last_out) = step(
+            (x, adj, rank2), last_it
         )
+        if record_trajectory:
+            traj = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
+            )
+        f32 = lambda v: v.astype(jnp.float32)  # noqa: E731
         return SamplerOutput(
-            x=x_mean if denoise else x,
-            adj=adj_mean if denoise else adj,
-            rank2=rank2_mean if denoise else rank2,
+            x=f32(x_mean if denoise else x),
+            adj=f32(adj_mean if denoise else adj),
+            rank2=f32(rank2_mean if denoise else rank2),
             n_model_evals=diff_steps * (n_steps + 1),
             trajectory=traj,
         )
@@ -332,7 +388,7 @@ def get_s4_solver(
             adj = mask_adjs(sde_adj.prior_sampling_sym(kadj, shape_adj), flags)
 
             def step(carry, it):
-                x, adj, _, _ = carry
+                x, adj = carry
                 i, t = it
                 vec_t = jnp.full((shape_adj[0],), t)
                 vec_dt = jnp.full((shape_adj[0],), dt / 2)
@@ -352,11 +408,20 @@ def get_s4_solver(
                     k4, sde_adj, adj, Sdrift_adj, "adj", flags, vec_t, vec_dt
                 )
                 out = (x_mean[0], adj_mean[0]) if record_trajectory else None
-                return (x, adj, x_mean, adj_mean), out
+                return (x, adj), ((x_mean, adj_mean), out)
 
-            its = (jnp.arange(diff_steps), timesteps)
-            init = (x, adj, jnp.zeros_like(x), jnp.zeros_like(adj))
-            (x, adj, x_mean, adj_mean), traj = jax.lax.scan(step, init, its)
+            def scan_body(carry, it):
+                carry, (_means, out) = step(carry, it)
+                return carry, out
+
+            its = (jnp.arange(diff_steps - 1), timesteps[:-1])
+            (x, adj), traj = jax.lax.scan(scan_body, (x, adj), its)
+            last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
+            (x, adj), ((x_mean, adj_mean), last_out) = step((x, adj), last_it)
+            if record_trajectory:
+                traj = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
+                )
             return SamplerOutput(
                 x=x_mean if denoise else x,
                 adj=adj_mean if denoise else adj,
@@ -378,7 +443,7 @@ def get_s4_solver(
         rank2 = mask_rank2(sde_rank2.prior_sampling(kr2, shape_rank2), spec, flags)
 
         def step(carry, it):
-            x, adj, rank2, _, _, _ = carry
+            x, adj, rank2 = carry
             i, t = it
             vec_t = jnp.full((shape_adj[0],), t)
             vec_dt = jnp.full((shape_adj[0],), dt / 2)
@@ -406,14 +471,22 @@ def get_s4_solver(
             out = (
                 (x_mean[0], adj_mean[0], rank2_mean[0]) if record_trajectory else None
             )
-            return (x, adj, rank2, x_mean, adj_mean, rank2_mean), out
+            return (x, adj, rank2), ((x_mean, adj_mean, rank2_mean), out)
 
-        its = (jnp.arange(diff_steps), timesteps)
-        init = (x, adj, rank2, jnp.zeros_like(x), jnp.zeros_like(adj),
-                jnp.zeros_like(rank2))
-        (x, adj, rank2, x_mean, adj_mean, rank2_mean), traj = jax.lax.scan(
-            step, init, its
+        def scan_body(carry, it):
+            carry, (_means, out) = step(carry, it)
+            return carry, out
+
+        its = (jnp.arange(diff_steps - 1), timesteps[:-1])
+        (x, adj, rank2), traj = jax.lax.scan(scan_body, (x, adj, rank2), its)
+        last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
+        (x, adj, rank2), ((x_mean, adj_mean, rank2_mean), last_out) = step(
+            (x, adj, rank2), last_it
         )
+        if record_trajectory:
+            traj = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
+            )
         return SamplerOutput(
             x=x_mean if denoise else x,
             adj=adj_mean if denoise else adj,

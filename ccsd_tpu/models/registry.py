@@ -37,15 +37,29 @@ FUSED_CAPABLE = {
 }
 
 
-def with_fused(defs: Dict[str, Dict[str, Any]], enable: bool = True):
+def with_fused(defs: Dict[str, Dict[str, Any]], enable: bool = True,
+               fast: bool = False):
     """Return model-def dicts with the fused fast path toggled where
     supported.  Used by the samplers: at inference the fused path is a pure
-    win (same weights, ~1e-6 parity, 1.7-6.6x faster on TPU)."""
+    win (same weights, ~1e-6 parity, 1.7-6.6x faster on TPU).
+
+    ``fast`` additionally applies the profile-tuned sampling lowerings
+    (tools/fastpath_probe.py): head-unrolled bf16 scores (T(8,128) tiling
+    instead of the half-empty T(4,128) the stacked form gets) and the
+    concat-free final-MLP head.  bf16 scores are a sampling-time numerics
+    change (~1e-3 on tanh-bounded attention maps), so this stays OPT-IN
+    (``sample.fast: true``) until the MMD sweep in BASELINE.md clears it
+    at multiple seeds."""
     out = {}
     for name, d in defs.items():
         d = dict(d)
-        if d.get("model_type") in FUSED_CAPABLE:
+        mt = d.get("model_type")
+        if mt in FUSED_CAPABLE:
             d["fused"] = enable
+        if enable and fast and mt in ("ScoreNetworkA", "ScoreNetworkX_GMH"):
+            d.setdefault("scores_impl", "mulreduce_h_bf16")
+        if enable and fast and mt == "ScoreNetworkA":
+            d.setdefault("final_impl", "blocksum")
         out[name] = d
     return out
 

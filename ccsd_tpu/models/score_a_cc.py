@@ -128,6 +128,14 @@ class ScoreNetworkA_CC:
         rank2: jnp.ndarray,
         flags: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        # dtype-following: under the bf16 sampling mode (solvers.carry_dtype)
+        # the E x E hodge-dual channel tensors are the model's big streams —
+        # keeping them in the input dtype halves the HBM traffic
+        dt = rank2.dtype
+        if dt != jnp.float32:
+            params = jax.tree_util.tree_map(lambda a: a.astype(dt), params)
+            x = x.astype(dt)
+            adj = adj.astype(dt)
         adjc = pow_tensor(adj, self.c_init)
         hodge_adjc = adj_to_hodgedual(adjc)
 
@@ -148,7 +156,7 @@ class ScoreNetworkA_CC:
         adj_hodge = jnp.moveaxis(hodgedual_to_adj(hodge_adjs), 1, -1)
         out = jnp.concatenate([adjs, adj_hodge], axis=-1)
         score = self.final.apply(params["final"], out)[..., 0]
-        score = score * default_mask(self.max_node_num)[None]
+        score = score * default_mask(self.max_node_num)[None].astype(score.dtype)
         return mask_adjs(score, flags)
 
 
@@ -236,6 +244,11 @@ class ScoreNetworkA_Base_CC:
         rank2: jnp.ndarray,
         flags: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        dt = rank2.dtype
+        if dt != jnp.float32:
+            params = jax.tree_util.tree_map(lambda a: a.astype(dt), params)
+            x = x.astype(dt)
+            adj = adj.astype(dt)
         adjc = pow_tensor(adj, self.c_init)
         hodge_adjc = adj_to_hodgedual(adjc)
 
@@ -256,5 +269,5 @@ class ScoreNetworkA_Base_CC:
         adj_hodge = jnp.moveaxis(hodgedual_to_adj(hodge_adjs), 1, -1)
         out = jnp.concatenate([adjs, adj_hodge], axis=-1)
         score = self.final.apply(params["final"], out)[..., 0]
-        score = score * default_mask(self.max_node_num)[None]
+        score = score * default_mask(self.max_node_num)[None].astype(score.dtype)
         return mask_adjs(score, flags)

@@ -146,6 +146,13 @@ class ScoreNetworkF:
         from ccsd_tpu.ops.masks import mask_rank2_dynamic
 
         spec = self.spec
+        # dtype-following: when the sampler feeds bf16 rank-2 tensors
+        # (solvers.get_pc_sampler carry_dtype), run the whole slab network in
+        # bf16 — at (B, E, K) sizes the path is HBM-bound, so keeping any f32
+        # intermediate doubles the traffic (tools/profile_cc_sampler.py)
+        dt = rank2.dtype
+        if dt != jnp.float32:
+            params = jax.tree_util.tree_map(lambda a: a.astype(dt), params)
         if dyn is not None:
             member, valid = dyn
             mask = lambda s: mask_rank2_dynamic(s, spec, member, valid, flags)
@@ -154,7 +161,7 @@ class ScoreNetworkF:
 
         H = hodge_laplacian(rank2)
         if self.use_hodge_mask:
-            H = H * default_mask(spec.num_edges)[None]
+            H = H * default_mask(spec.num_edges)[None].astype(dt)
         slabs = [rank2]
         for _ in range(self.cnum - 1):
             slabs.append(jnp.einsum("bef,bfk->bek", H, slabs[-1]))

@@ -30,7 +30,7 @@ def mask_x(x: jnp.ndarray, flags: Optional[jnp.ndarray]) -> jnp.ndarray:
     """
     if flags is None:
         return x
-    return x * flags[:, :, None]
+    return x * flags[:, :, None].astype(x.dtype)
 
 
 def mask_adjs(adjs: jnp.ndarray, flags: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -40,7 +40,7 @@ def mask_adjs(adjs: jnp.ndarray, flags: Optional[jnp.ndarray]) -> jnp.ndarray:
     """
     if flags is None:
         return adjs
-    f = flags
+    f = flags.astype(adjs.dtype)
     if adjs.ndim == 4:
         f = f[:, None, :]  # (B, 1, N)
     return adjs * f[..., :, None] * f[..., None, :]
@@ -150,6 +150,8 @@ def mask_rank2(
     if flags is None:
         return rank2
     fl, fr = rank2_flags(spec, flags)
+    fl = fl.astype(rank2.dtype)
+    fr = fr.astype(rank2.dtype)
     if rank2.ndim == 4:
         fl = fl[:, None, :]
         fr = fr[:, None, :]
@@ -227,7 +229,7 @@ def mask_hodge_adjs(
     """
     if flags is None:
         return hodge_adjs
-    f = edge_flags(spec, flags)
+    f = edge_flags(spec, flags).astype(hodge_adjs.dtype)
     if hodge_adjs.ndim == 4:
         f = f[:, None, :]
     return hodge_adjs * f[..., :, None] * f[..., None, :]

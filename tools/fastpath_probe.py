@@ -58,12 +58,15 @@ def build(steps: int, scores_impl: str, agg_impl: str, final_impl: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--rbg", action="store_true",
+                    help="use the rbg PRNG for the whole sampler")
     args = ap.parse_args()
+    if args.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
     flags = jnp.ones((B, N))
 
     combos = [
         ("mulreduce", "mulreduce", "concat"),   # round-2 baseline
-        ("mulreduce_h", "mulreduce", "concat"),
         ("mulreduce_h_bf16", "mulreduce", "concat"),
         ("mulreduce_h_bf16", "mulreduce", "blocksum"),
     ]

@@ -44,6 +44,16 @@ def main():
     p.add_argument("--ref-config-dir", type=str,
                    default="/root/reference/config")
     p.add_argument("--out", type=str, default="quality_sweep.json")
+    p.add_argument("--dtype", type=str, default=None,
+                   help="override sample.dtype (bf16|f32)")
+    p.add_argument("--rng", type=str, default=None,
+                   help="override sample.rng (rbg|threefry)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="override sample.seed")
+    p.add_argument("--fast", action="store_true",
+                   help="enable sample.fast (profile-tuned bf16 lowerings)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="sample.mesh, e.g. 'data=4' or 'data=4,edge=2'")
     args = p.parse_args()
 
     results = {}
@@ -61,6 +71,19 @@ def main():
         cfg.data.dir = os.path.join(args.folder, "data")
         cfg.ckpt = ckpt
         cfg.config_name = config_name
+        if args.dtype:
+            cfg.sample.dtype = args.dtype
+        if args.rng:
+            cfg.sample.rng = args.rng
+        if args.seed is not None:
+            cfg.sample.seed = args.seed
+        if args.fast:
+            cfg.sample.fast = True
+        if args.mesh:
+            cfg.sample.mesh = AttrDict({
+                k: int(v) for k, v in
+                (kv.split("=") for kv in args.mesh.split(","))
+            })
         print(f"=== {config_name} ({ckpt}) ===", flush=True)
         try:
             sampler = Sampler(cfg, log=True)
