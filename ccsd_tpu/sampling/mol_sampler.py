@@ -49,7 +49,8 @@ class MolSampler(Sampler):
         # carries the training machine's stale folder inside the checkpoint)
         configt.folder = cfg.get("folder", "./")
         configt.data.dir = cfg.data.dir
-        defs = with_fused(defs, bool(cfg.sample.get("fused", True)))
+        defs = with_fused(defs, bool(cfg.sample.get("fused", True)),
+                          fast=bool(cfg.sample.get("fast", False)))
         models = {n: load_model(d) for n, d in defs.items()}
 
         if getattr(self, "_log", False) and "train" in configt:
@@ -106,7 +107,24 @@ class MolSampler(Sampler):
             score_fns = [
                 get_score_fn(sdes[n], models[n], params[n]) for n in ("x", "adj")
             ]
-        jitted = jax.jit(lambda fl, k: sampling_fn(*score_fns, fl, k))
+        # same mesh / rng / dtype fast paths as the generic Sampler
+        from ccsd_tpu.parallel.sampling import (
+            jit_sharded_sampling,
+            mesh_from_config,
+            shard_sampling_flags,
+        )
+
+        self.mesh = mesh_from_config(cfg.sample)
+        if self.mesh is not None:
+            jitted = jit_sharded_sampling(
+                self.mesh, sampling_fn, score_fns, self.is_cc
+            )
+            self.logger.log(
+                f"sampling mesh: {dict(self.mesh.shape)} "
+                f"({self.mesh.size} devices)"
+            )
+        else:
+            jitted = jax.jit(lambda fl, k: sampling_fn(*score_fns, fl, k))
 
         # init_flags sampled from the train set's node-count distribution
         # (reference sampler.py:797-800 — NOT all-ones masks)
@@ -114,7 +132,9 @@ class MolSampler(Sampler):
 
         train_objs, _ = load_data(configt, get_list=True, is_cc=self.is_cc)
         seed = int(cfg.sample.get("seed", 42))
-        key = jax.random.PRNGKey(seed)
+        rng_impl = str(cfg.sample.get("rng", "threefry"))
+        rng_impl = {"threefry": "threefry2x32"}.get(rng_impl, rng_impl)
+        key = jax.random.key(seed, impl=rng_impl)
         rng = np.random.default_rng(seed)
         xs, adjs = [], []
         adj_traj = None
@@ -124,7 +144,7 @@ class MolSampler(Sampler):
             flags = sample_init_flags(
                 train_objs, configt, batch_size, is_cc=self.is_cc, rng=rng
             )
-            out = jitted(jnp.asarray(flags), sub)
+            out = jitted(shard_sampling_flags(self.mesh, jnp.asarray(flags)), sub)
             if save_figs and r == 0 and out.trajectory is not None:
                 adj_traj = np.asarray(out.trajectory[1])
             xs.append(np.asarray(out.x))

@@ -49,12 +49,21 @@ from ccsd_tpu.utils.logger import (
 def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
                      batch_size: int, record_trajectory: bool = False,
                      spec=None):
-    """Build the sampling closure.  Parity: loader.py:337-458."""
+    """Build the sampling closure.  Parity: loader.py:337-458.
+
+    Sampling fast paths (opt-in; see BASELINE.md "fast sampling modes" for
+    the measured speed/quality trade):
+      * ``sample.dtype: bf16`` — bf16 reverse-diffusion carry/score/noise
+        (solvers.get_pc_sampler carry_dtype); the CC hot loop is HBM-bound
+        on (B, E, K) streams, bf16 halves them (measured 1.3x alone).
+    """
     sde_x = load_sde(config_train.sde.x)
     sde_adj = load_sde(config_train.sde.adj)
     max_node_num = config_train.data.max_node_num
     shape_x = (batch_size, max_node_num, config_train.data.max_feat_num)
     shape_adj = (batch_size, max_node_num, max_node_num)
+    dtype_name = str(config_sample.get("dtype", "f32")).lower()
+    carry_dtype = jnp.bfloat16 if dtype_name in ("bf16", "bfloat16") else None
     kwargs: Dict[str, Any] = dict(
         predictor=config_module.predictor,
         corrector=config_module.corrector,
@@ -65,6 +74,7 @@ def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
         denoise=config_sample.noise_removal,
         eps=config_sample.eps,
         record_trajectory=record_trajectory,
+        carry_dtype=carry_dtype,
     )
     if is_cc:
         sde_rank2 = load_sde(config_train.sde.rank2)
@@ -152,7 +162,8 @@ class Sampler:
         configt, defs, params = self._load_checkpoint()
         # fused fast path by default at inference (same weights; opt out
         # with sample.fused: false)
-        defs = with_fused(defs, bool(cfg.sample.get("fused", True)))
+        defs = with_fused(defs, bool(cfg.sample.get("fused", True)),
+                          fast=bool(cfg.sample.get("fast", False)))
         models = {n: load_model(d) for n, d in defs.items()}
         spec = models["rank2"].spec if self.is_cc else None
 
@@ -205,10 +216,35 @@ class Sampler:
             score_fns = [
                 get_score_fn(sdes[n], models[n], params[n]) for n in ("x", "adj")
             ]
-        jitted = jax.jit(lambda fl, k: sampling_fn(*score_fns, fl, k))
+        # optional device mesh (sample.mesh: {data: D[, edge: E]} or 'auto'):
+        # the whole scanned reverse diffusion shards over it via GSPMD —
+        # batch over 'data' (DCN across hosts), rank-2 E axis over 'edge'
+        from ccsd_tpu.parallel.sampling import (
+            jit_sharded_sampling,
+            mesh_from_config,
+            shard_sampling_flags,
+        )
+
+        self.mesh = mesh_from_config(cfg.sample)
+        if self.mesh is not None:
+            jitted = jit_sharded_sampling(
+                self.mesh, sampling_fn, score_fns, self.is_cc
+            )
+            self.logger.log(
+                f"sampling mesh: {dict(self.mesh.shape)} "
+                f"({self.mesh.size} devices)"
+            )
+        else:
+            jitted = jax.jit(lambda fl, k: sampling_fn(*score_fns, fl, k))
 
         seed = int(cfg.sample.get("seed", 42))
-        key = jax.random.PRNGKey(seed)
+        # sample.rng: 'rbg' rides the hardware RNG — the two rank-2-sized
+        # normal draws per step cost ~2 ms/step under threefry at CC shapes
+        # (tools/profile_cc_sampler.py); default stays threefry until the
+        # rbg quality bisect in BASELINE.md clears it
+        rng_impl = str(cfg.sample.get("rng", "threefry"))
+        rng_impl = {"threefry": "threefry2x32"}.get(rng_impl, rng_impl)
+        key = jax.random.key(seed, impl=rng_impl)
         rng = np.random.default_rng(seed)
 
         gen_graphs: List = []
@@ -220,7 +256,7 @@ class Sampler:
             flags = sample_init_flags(
                 train_objs, configt, batch_size, is_cc=self.is_cc, rng=rng
             )
-            out = jitted(jnp.asarray(flags), sub)
+            out = jitted(shard_sampling_flags(self.mesh, jnp.asarray(flags)), sub)
             if save_gif and r == 0 and out.trajectory is not None:
                 adj_traj = np.asarray(out.trajectory[1])  # (T, N, N)
             adj_q = np.asarray(quantize(out.adj))
