@@ -54,7 +54,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Optional[Mesh], *arrays):
+def shard_batch(mesh: Optional[Mesh], *arrays, specs=None):
     """Device-put arrays with batch sharding (no-op without a mesh).
 
     Multi-process (multi-controller) mode: each process passes its own rows
@@ -66,6 +66,11 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     Single-process: batches whose leading dim does not divide the 'data'
     axis (e.g. a ragged final batch) are placed replicated instead —
     correctness over speed for the stragglers.
+
+    ``specs`` optionally gives a PartitionSpec per array (e.g. the rank-2
+    tensor over ('data', 'edge', 'cell') on a multi-axis train.mesh); any
+    dimension that does not divide its mesh axis falls back to the default
+    batch sharding for that array.
     """
     import jax.numpy as jnp
 
@@ -77,12 +82,20 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     if mesh is None or mesh.size == 1:
         return tuple(jnp.asarray(a) for a in arrays)
     n_data = mesh.shape.get("data", mesh.size)
+    if specs is None:
+        specs = [None] * len(arrays)
     out = []
-    for a in arrays:
-        if np.shape(a)[0] % n_data == 0:
-            out.append(jax.device_put(a, data_sharding(mesh, np.ndim(a))))
-        else:
+    for a, spec in zip(arrays, specs):
+        if np.shape(a)[0] % n_data != 0:
             out.append(jax.device_put(jnp.asarray(a), replicated(mesh)))
+            continue
+        if spec is not None and all(
+            ax is None or np.shape(a)[d] % mesh.shape[ax] == 0
+            for d, ax in enumerate(spec)
+        ):
+            out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+        else:
+            out.append(jax.device_put(a, data_sharding(mesh, np.ndim(a))))
     return tuple(out)
 
 

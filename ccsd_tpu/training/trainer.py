@@ -60,7 +60,34 @@ class Trainer:
         self.is_cc = bool(config.get("is_cc", False))
         self.names = ["x", "adj", "rank2"] if self.is_cc else ["x", "adj"]
         self.seed = int(config.get("seed", 42))
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # train.mesh: {data: D[, edge: E][, cell: C]} builds a multi-axis
+        # mesh; the CC batch's rank-2 tensor is then placed (data, edge,
+        # cell)-sharded so the E x E Hodge ops and E x K incidence matmuls
+        # partition over ICI (GSPMD inserts the collectives).  Default: all
+        # devices on one 'data' axis.  No reference counterpart (the
+        # reference is single-process torch, SURVEY.md §2.11).
+        mesh_spec = config.get("train", {}).get("mesh") if mesh is None else None
+        if mesh is not None:
+            self.mesh = mesh
+        elif mesh_spec:
+            import numpy as _np
+
+            axes = tuple(str(a) for a in mesh_spec.keys())
+            shape = tuple(int(v) for v in mesh_spec.values())
+            self.mesh = make_mesh(int(_np.prod(shape)), axes, shape)
+        else:
+            self.mesh = make_mesh()
+        from jax.sharding import PartitionSpec as _P
+
+        axn = self.mesh.axis_names
+        self._batch_specs = None
+        if self.is_cc and ("edge" in axn or "cell" in axn):
+            self._batch_specs = [
+                _P("data", None, None),
+                _P("data", None, None),
+                _P("data", "edge" if "edge" in axn else None,
+                   "cell" if "cell" in axn else None),
+            ]
         self.log_folder_name, self.log_name, self.ckpt_name = (
             set_log(config) if log else ("", "train", "ckpt")
         )
@@ -275,7 +302,7 @@ class Trainer:
             train_losses = []
             t0 = time.perf_counter()
             for batch in self.train_loader:
-                batch = shard_batch(self.mesh, *batch)
+                batch = shard_batch(self.mesh, *batch, specs=self._batch_specs)
                 key, sub = jax.random.split(key)
                 (self.state.params, self.state.opt_states, self.state.emas,
                  losses) = self._train_step(
@@ -287,7 +314,7 @@ class Trainer:
 
             test_losses = []
             for batch in self.test_loader:
-                batch = shard_batch(self.mesh, *batch)
+                batch = shard_batch(self.mesh, *batch, specs=self._batch_specs)
                 key, sub = jax.random.split(key)
                 test_losses.append(self._eval_step(self.state.emas, batch, sub))
 

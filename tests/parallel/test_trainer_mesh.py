@@ -1,0 +1,65 @@
+"""Config-reachable edge/cell partition in the Trainer (VERDICT r2 #3).
+
+``train.mesh: {data: D, edge: E, cell: C}`` must build the multi-axis mesh
+and place the CC batch's rank-2 tensor (data, edge, cell)-sharded, so the
+E x E Hodge ops and E x K incidence matmuls partition over the mesh.  Runs
+end-to-end (full Trainer epoch) on the virtual 8-device CPU mesh.
+
+No reference counterpart: the reference's only multi-device mechanism is
+torch DataParallel (ccsd/src/utils/loader.py:124-141).
+"""
+
+import numpy as np
+
+from tests.training.test_trainer_sampler import _config, _make_dataset
+
+
+def test_trainer_mesh_config_edge_cell(tmp_path):
+    from ccsd_tpu.training.trainer import Trainer
+
+    name = _make_dataset(tmp_path, cc=True)
+    cfg = _config(tmp_path, name, cc=True)
+    cfg.train.mesh = {"data": 2, "edge": 2, "cell": 2}
+    cfg.train.num_epochs = 1
+    trainer = Trainer(cfg, log=False)
+    assert dict(trainer.mesh.shape) == {"data": 2, "edge": 2, "cell": 2}
+    assert trainer._batch_specs is not None
+
+    # the rank-2 batch really lands partitioned: check shard shapes
+    from ccsd_tpu.parallel.mesh import shard_batch
+
+    batch = next(iter(trainer.train_loader))
+    placed = shard_batch(trainer.mesh, *batch, specs=trainer._batch_specs)
+    r2 = placed[2]
+    B, E, K = r2.shape
+    shard_shapes = {s.data.shape for s in r2.addressable_shards}
+    assert shard_shapes == {(B // 2, E // 2, K // 2)}, (
+        f"rank2 not (data, edge, cell)-sharded: {shard_shapes} vs {(B, E, K)}"
+    )
+
+    trainer.train()
+    losses = np.asarray(trainer.history["train"])
+    assert np.isfinite(losses).all()
+
+
+def test_trainer_mesh_matches_data_only(tmp_path):
+    """Edge/cell partitioning must not change the training math: one epoch
+    on the multi-axis mesh reproduces the data-only-mesh losses."""
+    from ccsd_tpu.training.trainer import Trainer
+
+    name = _make_dataset(tmp_path, cc=True)
+    cfg = _config(tmp_path, name, cc=True)
+    cfg.train.num_epochs = 1
+
+    t1 = Trainer(cfg, log=False)
+    t1.train()
+    ref = np.asarray(t1.history["train"])
+
+    cfg2 = _config(tmp_path, name, cc=True)
+    cfg2.train.num_epochs = 1
+    cfg2.train.mesh = {"data": 2, "edge": 2, "cell": 2}
+    cfg2.train.name = "t2"
+    t2 = Trainer(cfg2, log=False)
+    t2.train()
+    out = np.asarray(t2.history["train"])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
