@@ -73,6 +73,7 @@ def test_roundtrip_through_active_spec():
     )
 
 
+@pytest.mark.slow
 def test_train_and_sample_with_observed_universe(tmp_path):
     """Full train+sample loop in active-cell mode on a tiny CC dataset."""
     from tests.training.test_trainer_sampler import _config, _make_dataset

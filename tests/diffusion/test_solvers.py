@@ -147,6 +147,7 @@ def test_subvp_sampler(graph_models):
     assert np.isfinite(np.asarray(out.adj)).all()
 
 
+@pytest.mark.slow
 def test_probability_flow_ode(graph_models):
     """probability_flow=True: deterministic reverse ODE (diffusion zeroed)."""
     mx, px, ma, pa = graph_models

@@ -145,6 +145,7 @@ def test_dynamic_loss_finite_and_trains():
     assert gnorm > 0
 
 
+@pytest.mark.slow
 def test_two_stage_end_to_end_smoke():
     B, F_feat = 6, 5
     spec = get_spec(N, D_MIN, D_MAX)

@@ -96,6 +96,7 @@ def _run_multi(workdir: str, nproc: int = 2) -> list:
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_two_process_trainer_matches_single_process(tmp_path):
     workdir = str(tmp_path)
     _make_dataset(workdir)

@@ -63,6 +63,7 @@ def test_sharded_graph_sampling_matches_single_device():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_cc_sampling_data_by_edge_mesh():
     spec = get_spec(N, 3, 3)
     models = {

@@ -49,12 +49,14 @@ def test_data_parallel_loss_matches_single_device():
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
 
@@ -64,6 +66,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sharded_sampler_matches_replicated():
     """PC sampling with the batch sharded over 8 devices returns the same
     result as unsharded execution (same PRNG keys)."""

@@ -10,10 +10,12 @@ torch DataParallel (ccsd/src/utils/loader.py:124-141).
 """
 
 import numpy as np
+import pytest
 
 from tests.training.test_trainer_sampler import _config, _make_dataset
 
 
+@pytest.mark.slow
 def test_trainer_mesh_config_edge_cell(tmp_path):
     from ccsd_tpu.training.trainer import Trainer
 
@@ -42,6 +44,7 @@ def test_trainer_mesh_config_edge_cell(tmp_path):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_trainer_mesh_matches_data_only(tmp_path):
     """Edge/cell partitioning must not change the training math: one epoch
     on the multi-axis mesh reproduces the data-only-mesh losses."""

@@ -62,6 +62,7 @@ def test_orbax_dir_layout():
     )
 
 
+@pytest.mark.slow
 def test_trainer_orbax_save_and_resume(tmp_path):
     from tests.training.test_trainer_sampler import _config, _make_dataset
     from ccsd_tpu.training.trainer import Trainer

@@ -5,6 +5,7 @@ the unwrapped path exactly (same math, recomputed activations).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ from ccsd_tpu.ops.cells import get_spec
 from ccsd_tpu.ops.masks import mask_rank2
 
 
+@pytest.mark.slow
 def test_remat_grads_match():
     B, N, F = 4, 8, 5
     spec = get_spec(N, 3, 3)

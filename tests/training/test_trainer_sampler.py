@@ -80,7 +80,9 @@ def _config(tmp_path, name, cc=False):
     return AttrDict(cfg)
 
 
-@pytest.mark.parametrize("cc", [False, True])
+@pytest.mark.parametrize(
+    "cc", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
 def test_train_then_sample(tmp_path, cc):
     from ccsd_tpu.sampling.sampler import get_sampler_from_config
     from ccsd_tpu.training.trainer import Trainer
@@ -136,6 +138,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_train_scanned_matches_loop_quality(tmp_path):
     """On-device epoch scanning trains to comparable losses."""
     name = _make_dataset(tmp_path)
@@ -157,6 +160,7 @@ def test_train_scanned_matches_loop_quality(tmp_path):
     assert np.all(scanned_final < 5 * loop_final + 50)
 
 
+@pytest.mark.slow
 def test_resume_training_continues(tmp_path):
     """load_checkpoint restores params+opt+EMA and training continues."""
     import jax

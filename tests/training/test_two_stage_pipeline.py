@@ -11,6 +11,7 @@ import pytest
 from tests.training.test_trainer_sampler import _config, _make_dataset
 
 
+@pytest.mark.slow
 def test_two_stage_train_and_sample(tmp_path):
     from ccsd_tpu.sampling.sampler import get_sampler_from_config
     from ccsd_tpu.sampling.two_stage_sampler import TwoStageSampler

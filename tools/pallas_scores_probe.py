@@ -54,6 +54,56 @@ def scores_jnp(q, k):
     return acc / H
 
 
+# ------------------------------------------------- pallas: register-blocked ---
+#
+# The first kernel below (_scores_kernel) re-reads the full K slab for every
+# output row n: C*N*A reads of (N, B) = ~51 MB of VMEM traffic for 26 MFLOP.
+# The register-blocked kernel inverts the loops: for an NC-row chunk of n it
+# streams each (N, B) K slab ONCE per d, holding NC score accumulators AND
+# NC tanh accumulators in vector registers (NC=5: ~28 live vregs).  Traffic
+# drops to ~C*H*(N/NC)*ds*(N*B*4) ~ 10 MB.
+
+def _scores_reg_kernel(q_ref, k_ref, out_ref, *, dtype, nc):
+    for c0 in range(1):  # single block per program (grid over C)
+        for n0 in range(0, N, nc):
+            att = [jnp.zeros((N, B), jnp.float32) for _ in range(nc)]
+            for h in range(H):
+                s = [jnp.zeros((N, B), dtype) for _ in range(nc)]
+                for d in range(DS):
+                    hd = h * DS + d
+                    kslab = k_ref[0, hd, :, :].astype(dtype)      # (N, B)
+                    qrows = q_ref[0, hd, pl.ds(n0, nc), :].astype(dtype)
+                    for i in range(nc):
+                        s[i] = s[i] + kslab * qrows[i:i + 1]
+                for i in range(nc):
+                    att[i] = att[i] + jnp.tanh(
+                        s[i].astype(jnp.float32) * INV)
+            for i in range(nc):
+                out_ref[0, n0 + i, :, :] = att[i] / H
+
+
+def make_pallas_reg(dtype, nc=5):
+    kern = functools.partial(_scores_reg_kernel, dtype=dtype, nc=nc)
+
+    @jax.jit
+    def run(q, k):
+        return pl.pallas_call(
+            kern,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((1, A, N, B), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, A, N, B), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, N, N, B), lambda c: (c, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, N, N, B), jnp.float32),
+        )(q, k)
+
+    return run
+
+
 # ----------------------------------------------------------------- pallas ---
 
 def _scores_kernel(q_ref, k_ref, out_ref, *, dtype):
@@ -120,17 +170,26 @@ def main():
     k = jax.random.normal(jax.random.fold_in(key, 1), (C, A, N, B)) * 0.5
 
     ref = scores_jnp(q, k)
-    for name, dt in [("pallas_f32", jnp.float32), ("pallas_bf16", jnp.bfloat16)]:
-        out = make_pallas(dt)(q, k)
+    variants = [
+        ("pallas f32     ", make_pallas(jnp.float32)),
+        ("pallas bf16    ", make_pallas(jnp.bfloat16)),
+        ("reg f32 nc=4   ", make_pallas_reg(jnp.float32, 4)),
+        ("reg f32 nc=5   ", make_pallas_reg(jnp.float32, 5)),
+        ("reg f32 nc=10  ", make_pallas_reg(jnp.float32, 10)),
+        ("reg bf16 nc=5  ", make_pallas_reg(jnp.bfloat16, 5)),
+        ("reg bf16 nc=10 ", make_pallas_reg(jnp.bfloat16, 10)),
+    ]
+    for name, fn in variants:
+        out = fn(q, k)
         err = float(jnp.abs(out - ref).max())
         print(f"{name}: max|err| = {err:.2e}")
 
     flops = 2 * C * N * N * A * B  # mul+add over full A per (n, m)
     t = scan_time(scores_jnp, q, k)
     print(f"jnp mulreduce_h : {t*1e6:7.1f} us  {flops/t/1e12:.2f} TFLOP/s")
-    for name, dt in [("pallas f32 ", jnp.float32), ("pallas bf16", jnp.bfloat16)]:
-        t = scan_time(make_pallas(dt), q, k)
-        print(f"{name}     : {t*1e6:7.1f} us  {flops/t/1e12:.2f} TFLOP/s")
+    for name, fn in variants:
+        t = scan_time(fn, q, k)
+        print(f"{name} : {t*1e6:7.1f} us  {flops/t/1e12:.2f} TFLOP/s")
 
 
 if __name__ == "__main__":

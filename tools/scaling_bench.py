@@ -72,10 +72,14 @@ def main():
                               predictor="Euler", corrector="Langevin",
                               snr=0.05, scale_eps=0.7)
         sfx, sfa = get_score_fn(sde, mx, px), get_score_fn(sde, ma, pa)
-        jitted = jax.jit(lambda fl, k: samp(sfx, sfa, fl, k))
-        flags = jax.device_put(
-            jnp.ones((B, N)), NamedSharding(mesh, P("data", None))
+        # the production sharded path (sampling/sampler.py sample.mesh)
+        from ccsd_tpu.parallel.sampling import (
+            jit_sharded_sampling,
+            shard_sampling_flags,
         )
+
+        jitted = jit_sharded_sampling(mesh, samp, [sfx, sfa], is_cc=False)
+        flags = shard_sampling_flags(mesh, jnp.ones((B, N)))
         out = jitted(flags, jax.random.PRNGKey(2))
         out.adj.block_until_ready()
         ts = []
