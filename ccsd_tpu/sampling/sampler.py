@@ -160,6 +160,12 @@ class Sampler:
         cfg = self.config
         t_start = time.perf_counter()
         configt, defs, params = self._load_checkpoint()
+        # the checkpoint's train config carries the TRAINING machine's paths;
+        # data loading must follow the sample config's folder/dir (same
+        # override MolSampler applies, mol_sampler.py:49-51)
+        configt.folder = cfg.get("folder", configt.get("folder", "./"))
+        if "data" in cfg and cfg.data.get("dir"):
+            configt.data.dir = cfg.data.dir
         # fused fast path by default at inference (same weights; opt out
         # with sample.fused: false)
         defs = with_fused(defs, bool(cfg.sample.get("fused", True)),
