@@ -233,13 +233,21 @@ def ccs_from_two_stage(
     rank2_q: np.ndarray,
     dyn: DynamicCells,
     spec: ComplexSpec,
+    is_molecule: bool = False,
 ):
     """Decode generated (x, A, F-over-candidates) into CombinatorialComplexes.
 
     Per-sample analogue of cc_from_incidence (cc_utils.py:156-265): rank-2
-    columns are looked up in the sample's own candidate list.
+    columns are looked up in the sample's own candidate list.  With
+    ``is_molecule`` the cells carry the molecule attribute schema the CC
+    evaluators expect (cc_from_incidence is_molecule semantics): rank-0
+    ``symbol`` = atomic number of the argmax atom type, rank-1 ``bond_type``
+    = the quantized bond order in adj_q.
     """
     from ccsd_tpu.data.complex import CombinatorialComplex
+
+    if is_molecule:
+        from ccsd_tpu.data.cc_codec import DIC_MOL_CONV, SYMBOL_TO_AN
 
     assert dyn.cell_lists is not None, "bridge must keep cell_lists"
     u, v = np.asarray(spec.edge_u), np.asarray(spec.edge_v)
@@ -253,9 +261,17 @@ def ccs_from_two_stage(
         active = np.nonzero(A.any(axis=0))[0]
         n_max = int(active[-1]) + 1 if active.size else 0
         for n in range(n_max):
-            cc.add_cell((n,), rank=0, weight=1)
+            if is_molecule:
+                an = SYMBOL_TO_AN[DIC_MOL_CONV[int(np.argmax(x[b, n]))]]
+                cc.add_cell((n,), rank=0, symbol=an)
+            else:
+                cc.add_cell((n,), rank=0, weight=1)
         for i in np.nonzero(A[u, v])[0]:
-            cc.add_cell((int(u[i]), int(v[i])), rank=1, weight=1)
+            edge = (int(u[i]), int(v[i]))
+            if is_molecule:
+                cc.add_cell(edge, rank=1, bond_type=float(A[u[i], v[i]]))
+            else:
+                cc.add_cell(edge, rank=1, weight=1)
         for j, cell in enumerate(dyn.cell_lists[b]):
             if np.asarray(rank2_q[b, :, j]).any():
                 cc.add_cell(tuple(int(n) for n in cell), rank=2, weight=1)

@@ -104,6 +104,10 @@ class TwoStageSampler:
         if lift == "path_based":
             lift_kwargs["path_length"] = dc.get("path_length", dc.d_max)
 
+        # molecule datasets: bond-order quantization + molecule attribute
+        # schema on decoded CCs (reference data_loader_mol semantics)
+        is_mol = str(dc.data) in ("QM9", "ZINC250k")
+
         gen_ccs: List = []
         for _ in range(n_rounds):
             key, k1, k2 = jax.random.split(key, 3)
@@ -111,7 +115,12 @@ class TwoStageSampler:
                 train_objs, configt, batch_size, is_cc=True, rng=rng
             ))
             out = graph_jit(flags, k1)
-            adj_q = quantize(out.adj)
+            if is_mol:
+                from ccsd_tpu.ops.masks import quantize_mol
+
+                adj_q = jnp.asarray(quantize_mol(out.adj).astype(np.float32))
+            else:
+                adj_q = quantize(out.adj)
             dyn = dynamic_cells_from_adjs(
                 np.asarray(adj_q), dc.d_min, dc.d_max,
                 ckpt.get("k_max"), lift, **lift_kwargs,
@@ -128,7 +137,7 @@ class TwoStageSampler:
             rank2_q = quantize(rank2)
             gen_ccs.extend(ccs_from_two_stage(
                 np.asarray(out.x), np.asarray(adj_q), np.asarray(rank2_q),
-                dyn, spec,
+                dyn, spec, is_molecule=is_mol,
             ))
 
         results: Dict[str, Any] = {
@@ -151,9 +160,30 @@ class TwoStageSampler:
                 node_label=dc.node_label, min_edge_val=dc.min_edge_val,
                 max_edge_val=dc.max_edge_val, edge_label=dc.edge_label,
             )
-            results["cc_mmd"] = eval_CC_list(
-                test_objs, gen_ccs, worker_kwargs,
-                cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
-            )
+            # the CC-MMD workers build each complex's DENSE (E, K) incidence;
+            # at ZINC shapes (N=38, d_max=24 -> K ~ 2^N) that is intractable
+            # on any hardware — the very scale cliff two-stage exists to
+            # avoid.  Gate it and report per-sample rank-2 cell-count stats
+            # instead (open-universe quality signal that stays tractable).
+            if spec.num_cells <= int(cfg.sample.get("cc_eval_max_cells",
+                                                    2_000_000)):
+                results["cc_mmd"] = eval_CC_list(
+                    test_objs, gen_ccs, worker_kwargs,
+                    cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
+                )
+            else:
+                def counts(ccs):
+                    return [len(c.cells.hyperedge_dict.get(2, {}))
+                            for c in ccs]
+
+                g, t = counts(gen_ccs), counts(test_objs)
+                results["rank2_counts"] = {
+                    "gen_mean": float(np.mean(g)),
+                    "gen_std": float(np.std(g)),
+                    "test_mean": float(np.mean(t)),
+                    "test_std": float(np.std(t)),
+                    "note": ("dense CC-MMD skipped: spec.num_cells="
+                             f"{spec.num_cells} exceeds cc_eval_max_cells"),
+                }
         self.logger.log(f"two-stage sampling: {results}")
         return results

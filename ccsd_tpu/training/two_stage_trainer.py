@@ -59,9 +59,29 @@ class TwoStageTrainer:
 
         dc = config.data
         self.spec = get_spec(dc.max_node_num, dc.d_min, dc.d_max)
-        ccs = load_dataset(dc.dir, dc.data)
-        tr, te = _split(len(ccs), dc.test_split)
-        self.train_ccs, self.test_ccs = ccs[tr], ccs[te]
+        is_mol = str(dc.data) in ("QM9", "ZINC250k")
+        mol_xs = None
+        if is_mol:
+            # molecule path: CCs via the ring-lifting mol loader, and x from
+            # the dataset's atom-type one-hots (NOT degree init — the x model
+            # must learn atom types; reference data_loader_mol.py:425-546)
+            from ccsd_tpu.data.loader import load_data
+            from ccsd_tpu.data.mol_loader import (
+                _load_split_mols,
+                _transform_graph,
+            )
+
+            self.train_ccs, self.test_ccs = load_data(
+                config, get_list=True, is_cc=True
+            )
+            train_mols, _ = _load_split_mols(config)
+            mol_xs = np.asarray([
+                _transform_graph(x, a, str(dc.data))[0] for x, a in train_mols
+            ])
+        else:
+            ccs = load_dataset(dc.dir, dc.data)
+            tr, te = _split(len(ccs), dc.test_split)
+            self.train_ccs, self.test_ccs = ccs[tr], ccs[te]
 
         lift = dc.get("lifting_procedure", "cycles")
         lift_kwargs = {}
@@ -75,7 +95,8 @@ class TwoStageTrainer:
         self.train_batch = {
             "adj": jnp.asarray(adjs),
             "x": jnp.asarray(
-                init_features(dc.init, np.asarray(adjs), dc.max_feat_num)
+                mol_xs if mol_xs is not None
+                else init_features(dc.init, np.asarray(adjs), dc.max_feat_num)
             ),
             "rank2": rank2,
             "dyn": dyn,

@@ -137,7 +137,7 @@ def main():
         "config", "zinc250k_CC.yaml")))
     cfg = AttrDict(raw)
     cfg.folder = args.workdir
-    cfg.data.dir = "data"
+    cfg.data.dir = data_dir  # generic (non-mol) loaders use dir as-is
     cfg.data.data = DATASET
     cfg.data.batch_size = args.batch_size
     cfg.data.test_split = 0.2
@@ -175,7 +175,7 @@ def main():
     t_train = time.time() - t0
 
     scfg = AttrDict(json.loads(json.dumps(cfg)))  # deep copy
-    scfg.ckpt = ckpt_name if ckpt_name else cfg.train.name
+    scfg.ckpt = (ckpt_name or cfg.train.name) + "_final"
     from ccsd_tpu.sampling.two_stage_sampler import TwoStageSampler
 
     t0 = time.time()
