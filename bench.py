@@ -124,10 +124,15 @@ def _bench_graph(jax, jnp):
     # fused=True: channel-folded attention fast path — identical params and
     # semantics (CPU parity ~1e-6, tests/models/test_fused_attention.py);
     # measured 1.67x over the unrolled path on TPU v5e (DESIGN_NOTES.md).
+    # scores_impl/final_impl: the with_fused(fast=True) sampling defaults
+    # (cleared by the multi-seed MMD sweep, BASELINE.md "Graph fast-lowering
+    # clearance") — bench measures the path users actually get
     ma = load_model(dict(model_type="ScoreNetworkA", max_feat_num=F,
                          max_node_num=N, nhid=32, num_layers=5, num_linears=2,
                          c_init=2, c_hid=8, c_final=4, adim=32, num_heads=4,
-                         conv="GCN", use_bn=False, is_cc=False, fused=True))
+                         conv="GCN", use_bn=False, is_cc=False, fused=True,
+                         scores_impl="mulreduce_h_bf16",
+                         final_impl="blocksum"))
     # useful-FLOP oracle: the UNFUSED (reference-parity) formulation of the
     # same models — its cost analysis carries none of the fused path's
     # block-diagonal padding FLOPs, so flops_unfused / elapsed_fused / peak

@@ -38,7 +38,7 @@ FUSED_CAPABLE = {
 
 
 def with_fused(defs: Dict[str, Dict[str, Any]], enable: bool = True,
-               fast: bool = False):
+               fast: bool = True):
     """Return model-def dicts with the fused fast path toggled where
     supported.  Used by the samplers: at inference the fused path is a pure
     win (same weights, ~1e-6 parity, 1.7-6.6x faster on TPU).
@@ -46,10 +46,12 @@ def with_fused(defs: Dict[str, Dict[str, Any]], enable: bool = True,
     ``fast`` additionally applies the profile-tuned sampling lowerings
     (tools/fastpath_probe.py): head-unrolled bf16 scores (T(8,128) tiling
     instead of the half-empty T(4,128) the stacked form gets) and the
-    concat-free final-MLP head.  bf16 scores are a sampling-time numerics
-    change (~1e-3 on tanh-bounded attention maps), so this stays OPT-IN
-    (``sample.fast: true``) until the MMD sweep in BASELINE.md clears it
-    at multiple seeds."""
+    concat-free final-MLP head — 1232 -> 1085 us/step on the graph
+    sampler.  bf16 scores are a sampling-time numerics change (~1e-3 on
+    tanh-bounded attention maps); DEFAULT-ON since the multi-seed MMD
+    clearance (BASELINE.md "Graph fast-lowering clearance": fast runs
+    straddle the f32 control inside seed spread).  Opt out per run with
+    ``sample.fast: false``."""
     out = {}
     for name, d in defs.items():
         d = dict(d)

@@ -50,7 +50,7 @@ class MolSampler(Sampler):
         configt.folder = cfg.get("folder", "./")
         configt.data.dir = cfg.data.dir
         defs = with_fused(defs, bool(cfg.sample.get("fused", True)),
-                          fast=bool(cfg.sample.get("fast", False)))
+                          fast=bool(cfg.sample.get("fast", True)))
         models = {n: load_model(d) for n, d in defs.items()}
 
         if getattr(self, "_log", False) and "train" in configt:

@@ -169,7 +169,7 @@ class Sampler:
         # fused fast path by default at inference (same weights; opt out
         # with sample.fused: false)
         defs = with_fused(defs, bool(cfg.sample.get("fused", True)),
-                          fast=bool(cfg.sample.get("fast", False)))
+                          fast=bool(cfg.sample.get("fast", True)))
         models = {n: load_model(d) for n, d in defs.items()}
         spec = models["rank2"].spec if self.is_cc else None
 
