@@ -98,3 +98,32 @@ def test_preprocess_matches_derived_qm9_sample():
             orders2[orders2 > 0].ravel()), smi
         assert sorted((orders > 0).sum(0)) == sorted(
             (orders2 > 0).sum(0)), smi
+
+
+def test_preprocess_for_nspdk_executes(tmp_path):
+    """preprocess_for_nspdk end-to-end (reference preprocess_for_nspdk.py:
+    25-79): derived npz + valid_idx -> test-split SMILES -> nx graph pickle
+    with atom symbols and bond orders intact."""
+    import json
+    import pickle
+
+    from ccsd_tpu.data.preprocess import preprocess_for_nspdk
+
+    folder = _write_csv(
+        tmp_path, ["C", "CCO", "c1ccccc1", "CC(=O)N", "CCN"])
+    preprocess_dataset("QM9", folder)
+    # mark ethanol + benzene (post-drop indices 1, 2) as the test split
+    with open(os.path.join(folder, "data", "valid_idx_qm9.json"), "w") as f:
+        json.dump({"valid_idxs": ["1", "2"]}, f)
+
+    out = preprocess_for_nspdk("QM9", folder)
+    with open(out, "rb") as f:
+        graphs = pickle.load(f)
+    assert len(graphs) == 2
+    sizes = sorted(g.number_of_nodes() for g in graphs)
+    assert sizes == [3, 6]  # ethanol heavy atoms, benzene ring
+    benzene = next(g for g in graphs if g.number_of_nodes() == 6)
+    labels = {d.get("label") for _, d in benzene.nodes(data=True)}
+    assert labels == {"C"}
+    # kekulized benzene: alternating single/double -> 6 edges
+    assert benzene.number_of_edges() == 6
