@@ -350,6 +350,14 @@ def convert_graphs_to_CCs(
 
     ccs = []
     for graph in graphs:
+        # The dense incidence codec indexes X/A rows by node label, so
+        # labels must be contiguous 0..n-1.  Generated graphs violate this
+        # after isolated-node removal (e.g. a 1-node graph whose surviving
+        # node is labeled 1), which crashed the lifted-CC eval path.
+        if set(graph.nodes) != set(range(graph.number_of_nodes())):
+            graph = nx.convert_node_labels_to_integers(
+                graph, ordering="sorted"
+            )
         CC = CombinatorialComplex()
         for node in graph.nodes:
             attr = dict(graph.nodes[node])

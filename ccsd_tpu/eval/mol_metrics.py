@@ -56,11 +56,18 @@ def novelty(smiles: Sequence[str], train_smiles: Sequence[str]
 
 
 def fcd_score(smiles: Sequence[str], ref_smiles: Sequence[str]) -> Optional[float]:
+    """FCD via the `fcd` package when installed, else the native JAX
+    ChemNet path (ccsd_tpu.eval.fcd) gated only on the pretrained weights
+    blob ($CCSD_CHEMNET_WEIGHTS); None when neither is available."""
     try:
         import fcd  # noqa: F401
+
+        return float(fcd.get_fcd(list(smiles), list(ref_smiles)))
     except ImportError:
-        return None
-    return float(fcd.get_fcd(list(smiles), list(ref_smiles)))
+        pass
+    from ccsd_tpu.eval.fcd import fcd_score_native
+
+    return fcd_score_native(smiles, ref_smiles)
 
 
 def snn_frag_scaf(gen_mols, test_smiles: Sequence[str]

@@ -131,3 +131,21 @@ def test_init_features_deg():
     assert not x[0, 2:].any()  # masked isolated nodes
     with pytest.raises(NotImplementedError):
         init_features("bad", adjs)
+
+
+def test_convert_graphs_relabels_noncontiguous_nodes():
+    """Generated graphs lose labels to isolated-node removal; the lift must
+    relabel to contiguous 0..n-1 or the dense codec's X[node] indexing
+    crashes (regression: 1-node graph labeled {1} broke the graph sampler's
+    lifted-CC eval)."""
+    g1 = nx.Graph()
+    g1.add_node(1)  # single surviving node, label 1
+    g2 = nx.Graph()
+    g2.add_edges_from([(2, 5), (5, 9), (9, 2)])  # triangle, gappy labels
+    ccs = convert_graphs_to_CCs([g1, g2], lifting_procedure="cycles")
+    X1, A1, F1 = CC_to_incidence_matrices(ccs[0], None, None)
+    assert X1.shape[0] == 1 and X1[0, 0] == 1
+    X2, A2, F2 = CC_to_incidence_matrices(ccs[1], None, None)
+    assert X2.shape[0] == 3 and A2.shape[:2] == (3, 3)
+    assert np.squeeze(A2).sum() == 6  # symmetric triangle
+    assert frozenset({0, 1, 2}) in ccs[1].cells.hyperedge_dict[2]
