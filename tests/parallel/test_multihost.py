@@ -59,25 +59,25 @@ def _env(n_local_devices: int) -> dict:
     return env
 
 
-def _run_single(workdir: str) -> dict:
-    out = os.path.join(workdir, "single.json")
+def _run_single(workdir: str, mode: str = "train") -> dict:
+    out = os.path.join(workdir, f"single_{mode}.json")
     subprocess.run(
-        [sys.executable, WORKER, "0", "1", "0", workdir, out],
+        [sys.executable, WORKER, "0", "1", "0", workdir, out, mode],
         env=_env(8), check=True, timeout=420, capture_output=True,
     )
     with open(out) as f:
         return json.load(f)
 
 
-def _run_multi(workdir: str, nproc: int = 2) -> list:
+def _run_multi(workdir: str, nproc: int = 2, mode: str = "train") -> list:
     port = _free_port()
     procs, outs = [], []
     for pid in range(nproc):
-        out = os.path.join(workdir, f"multi_{pid}.json")
+        out = os.path.join(workdir, f"multi_{mode}_{pid}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(nproc), str(port),
-             workdir, out],
+             workdir, out, mode],
             env=_env(8 // nproc), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
         ))
@@ -114,3 +114,39 @@ def test_two_process_trainer_matches_single_process(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
     assert np.isfinite(np.asarray(single["train"])).all()
+
+@pytest.mark.slow
+def test_two_process_sampler_matches_single_process(tmp_path):
+    """The north-star's N-hosts leg: the sharded production sampler run as
+    2 processes x 4 devices produces bit-close identical samples to the
+    1-process x 8-device run (same key stream; only placement differs).
+    The Langevin corrector's batch-coupled norms psum across the process
+    boundary, so this exercises real cross-host collectives in the
+    reverse diffusion."""
+    workdir = str(tmp_path)
+    single = _run_single(workdir, mode="sample")
+    multi = _run_multi(workdir, nproc=2, mode="sample")
+
+    def reassemble(results):
+        rows = {}
+        for r in results:
+            rows.update(r["rows"])
+        tensors = {}
+        for name in ("adj", "x"):
+            keys = sorted(
+                (k for k in rows if k.startswith(name + ":")),
+                key=lambda k: int(k.split(":")[1]),
+            )
+            tensors[name] = np.concatenate(
+                [np.asarray(rows[k]) for k in keys], axis=0
+            )
+        return tensors
+
+    s, m = reassemble([single]), reassemble(multi)
+    # the two processes' shards are disjoint and cover the global batch
+    assert s["adj"].shape == m["adj"].shape == (16, 6, 6)
+    # cross-process psum reduction order shifts the float stream by ~1e-4
+    # relative (same tolerance class as the single-process sharded test)
+    np.testing.assert_allclose(m["adj"], s["adj"], rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(m["x"], s["x"], rtol=2e-4, atol=1e-4)
+    assert np.isfinite(m["adj"]).all()
