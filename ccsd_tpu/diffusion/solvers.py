@@ -144,6 +144,52 @@ def _make_predictor(
     )
 
 
+def _scan_steps(step, init, diff_steps, timesteps, record_trajectory, lean):
+    """Run a ``step(samples, (i, t)) -> (samples, (means, out))`` body over
+    the reverse-diffusion schedule; returns (samples, means, trajectory).
+
+    ``lean=False`` (the f32 default): ONE scan over all steps with the
+    denoising means riding in the carry.  Measured fastest on TPU — the
+    round-3 split form cost the f32 CC sampler 6.4% (125.1 vs 133.6
+    steps/s at community_small_CC shapes, same chip/hour bisect), because
+    the means are byproduct values XLA aliases into carry slots for free,
+    while splitting the last step out of the scan perturbs the loop
+    schedule.
+
+    ``lean=True`` (bf16 carry mode): carry only the sample tensors and run
+    the last step un-scanned for the means.  This keeps the f32 means
+    (111 MB of rank-2 means at community_small_CC shapes) out of a bf16
+    stream's working set — the configuration the bf16 mode's 1.8× win was
+    measured with (BASELINE.md "Fast sampling modes").
+    """
+    if lean:
+        def scan_body(carry, it):
+            carry, (_means, out) = step(carry, it)  # means DCE'd in-scan
+            return carry, out
+
+        its = (jnp.arange(diff_steps - 1), timesteps[:-1])
+        samples, traj = jax.lax.scan(scan_body, init, its)
+        last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
+        samples, (means, last_out) = step(samples, last_it)
+        if record_trajectory:
+            traj = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
+            )
+        return samples, means, traj
+
+    def full_body(carry, it):
+        samples, _ = carry
+        samples, (means, out) = step(samples, it)
+        return (samples, means), out
+
+    zeros_means = jax.tree_util.tree_map(jnp.zeros_like, init)
+    its = (jnp.arange(diff_steps), timesteps)
+    (samples, means), traj = jax.lax.scan(
+        full_body, (init, zeros_means), its
+    )
+    return samples, means, traj
+
+
 def get_pc_sampler(
     sde_x: SDE,
     sde_adj: SDE,
@@ -236,22 +282,10 @@ def get_pc_sampler(
                 out = (x_mean[0], adj_mean[0]) if record_trajectory else None
                 return (_cast(x), _cast(adj)), ((x_mean, adj_mean), out)
 
-            # the denoising means are only needed from the LAST step, so the
-            # scan carries just (x, adj) (the reference stacks nothing either
-            # — solver.py:1123-1150); the final step runs un-scanned, halving
-            # the carry traffic of the hot loop
-            def scan_body(carry, it):
-                carry, (_means, out) = step(carry, it)  # means DCE'd in-scan
-                return carry, out
-
-            its = (jnp.arange(diff_steps - 1), timesteps[:-1])
-            (x, adj), traj = jax.lax.scan(scan_body, (x, adj), its)
-            last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
-            (x, adj), ((x_mean, adj_mean), last_out) = step((x, adj), last_it)
-            if record_trajectory:
-                traj = jax.tree_util.tree_map(
-                    lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
-                )
+            (x, adj), (x_mean, adj_mean), traj = _scan_steps(
+                step, (x, adj), diff_steps, timesteps, record_trajectory,
+                lean=cdt is not None,
+            )
             f32 = lambda v: v.astype(jnp.float32)  # noqa: E731
             return SamplerOutput(
                 x=f32(x_mean if denoise else x),
@@ -313,24 +347,10 @@ def get_pc_sampler(
             return (_cast(x), _cast(adj), _cast(rank2)), (
                 (x_mean, adj_mean, rank2_mean), out)
 
-        # carry only the sample tensors; the rank-2 means alone are 111 MB at
-        # community_small_CC shapes, and carrying them doubled the hot loop's
-        # HBM traffic (see tools/profile_cc_sampler.py) — the last step runs
-        # un-scanned to produce the denoising means
-        def scan_body(carry, it):
-            carry, (_means, out) = step(carry, it)
-            return carry, out
-
-        its = (jnp.arange(diff_steps - 1), timesteps[:-1])
-        (x, adj, rank2), traj = jax.lax.scan(scan_body, (x, adj, rank2), its)
-        last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
-        (x, adj, rank2), ((x_mean, adj_mean, rank2_mean), last_out) = step(
-            (x, adj, rank2), last_it
+        (x, adj, rank2), (x_mean, adj_mean, rank2_mean), traj = _scan_steps(
+            step, (x, adj, rank2), diff_steps, timesteps, record_trajectory,
+            lean=cdt is not None,
         )
-        if record_trajectory:
-            traj = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
-            )
         f32 = lambda v: v.astype(jnp.float32)  # noqa: E731
         return SamplerOutput(
             x=f32(x_mean if denoise else x),
@@ -410,18 +430,10 @@ def get_s4_solver(
                 out = (x_mean[0], adj_mean[0]) if record_trajectory else None
                 return (x, adj), ((x_mean, adj_mean), out)
 
-            def scan_body(carry, it):
-                carry, (_means, out) = step(carry, it)
-                return carry, out
-
-            its = (jnp.arange(diff_steps - 1), timesteps[:-1])
-            (x, adj), traj = jax.lax.scan(scan_body, (x, adj), its)
-            last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
-            (x, adj), ((x_mean, adj_mean), last_out) = step((x, adj), last_it)
-            if record_trajectory:
-                traj = jax.tree_util.tree_map(
-                    lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
-                )
+            (x, adj), (x_mean, adj_mean), traj = _scan_steps(
+                step, (x, adj), diff_steps, timesteps, record_trajectory,
+                lean=False,
+            )
             return SamplerOutput(
                 x=x_mean if denoise else x,
                 adj=adj_mean if denoise else adj,
@@ -473,20 +485,10 @@ def get_s4_solver(
             )
             return (x, adj, rank2), ((x_mean, adj_mean, rank2_mean), out)
 
-        def scan_body(carry, it):
-            carry, (_means, out) = step(carry, it)
-            return carry, out
-
-        its = (jnp.arange(diff_steps - 1), timesteps[:-1])
-        (x, adj, rank2), traj = jax.lax.scan(scan_body, (x, adj, rank2), its)
-        last_it = (jnp.asarray(diff_steps - 1), timesteps[-1])
-        (x, adj, rank2), ((x_mean, adj_mean, rank2_mean), last_out) = step(
-            (x, adj, rank2), last_it
+        (x, adj, rank2), (x_mean, adj_mean, rank2_mean), traj = _scan_steps(
+            step, (x, adj, rank2), diff_steps, timesteps, record_trajectory,
+            lean=False,
         )
-        if record_trajectory:
-            traj = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b[None]]), traj, last_out
-            )
         return SamplerOutput(
             x=x_mean if denoise else x,
             adj=adj_mean if denoise else adj,
