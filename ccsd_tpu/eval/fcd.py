@@ -144,10 +144,24 @@ def tokenize_smiles(smiles: str) -> List[int]:
 def featurize_smiles(
     smiles: Sequence[str], pad_len: int = FCD_PAD_LEN
 ) -> np.ndarray:
-    """Batch one-hot encoding, shape (B, pad_len, len(FCD_TOKENS))."""
+    """Batch one-hot encoding, shape (B, pad_len, len(FCD_TOKENS)).
+
+    Each SMILES gets the ``'.'`` end token appended before encoding —
+    ``fcd.utils.get_one_hot`` does the same (``smiles + '.'``) and the
+    pretrained ChemNet was trained with that terminator, so omitting it
+    would shift every activation.  SMILES longer than ``pad_len - 1``
+    raise: the `fcd` package asserts ``pad_len >= len(smiles) + 1`` and
+    silent truncation would silently change scores.
+    """
     out = np.zeros((len(smiles), pad_len, len(FCD_TOKENS)), dtype=np.float32)
     for b, s in enumerate(smiles):
-        toks = tokenize_smiles(s)[:pad_len]
+        toks = tokenize_smiles(s + ".")
+        if len(toks) > pad_len:
+            raise ValueError(
+                f"SMILES {s!r} tokenizes to {len(toks)} > pad_len={pad_len} "
+                f"tokens (incl. the '.' terminator); raise pad_len — the fcd "
+                f"package asserts this rather than truncating"
+            )
         out[b, np.arange(len(toks)), toks] = 1.0
     return out
 
@@ -172,17 +186,24 @@ def conv1d(x, w, b, stride: int = 1, padding: str = "VALID"):
     return y + jnp.asarray(b)
 
 
-def gru_scan(x, wi, wh, bi, bh, mask=None):
+def gru_scan(x, wi, wh, bi, bh, mask=None, reset_after: bool = True):
     """GRU over x (B, T, Cin) → final hidden state (B, H).
 
-    cuDNN / ``reset_after=True`` gate order [r, z, n] with separate input
-    and hidden biases — the exact equations of ``torch.nn.GRU`` (and of
-    Keras ``GRU(reset_after=True)``, which ChemNet uses):
+    Default is the cuDNN / ``reset_after=True`` gate order [r, z, n] with
+    separate input and hidden biases — the exact equations of
+    ``torch.nn.GRU`` (and of Keras ``GRU(reset_after=True)``):
 
         r = sigmoid(x Wir + bir + h Whr + bhr)
         z = sigmoid(x Wiz + biz + h Whz + bhz)
         n = tanh  (x Win + bin + r * (h Whn + bhn))
         h' = (1 - z) * n + z * h
+
+    ``reset_after=False`` (the original Keras-1 era format, a single 1-D
+    bias — the layout of legacy ChemNet .h5 exports) differs in the
+    candidate gate: the reset is applied to the hidden state BEFORE the
+    recurrent matmul, ``n = tanh(x Win + bin + (r * h) Whn)``, and there
+    is no hidden bias.  The two are not weight-convertible, so the loader
+    tags each GRU layer with the format it was saved in.
 
     ``mask`` (B, T) freezes the hidden state on padded timesteps so
     right-padded batches reproduce per-sequence results.
@@ -198,15 +219,21 @@ def gru_scan(x, wi, wh, bi, bh, mask=None):
     B = x.shape[0]
 
     x_proj = jnp.einsum("btc,ch->bth", x, wi) + bi  # (B, T, 3H)
+    whr, whz, whn = jnp.split(wh, 3, axis=-1)
 
     def step(h, inp):
         xp, m = inp
-        hp = h @ wh + bh
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
-        hr, hz, hn = jnp.split(hp, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
+        if reset_after:
+            hp = h @ wh + bh
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+        else:
+            r = jax.nn.sigmoid(xr + h @ whr)
+            z = jax.nn.sigmoid(xz + h @ whz)
+            n = jnp.tanh(xn + (r * h) @ whn)
         h_new = (1.0 - z) * n + z * h
         if m is not None:
             h_new = jnp.where(m[:, None], h_new, h)
@@ -250,7 +277,7 @@ def chemnet_forward(params: List[Dict], x: np.ndarray) -> np.ndarray:
         elif kind == "gru":
             h = gru_scan(
                 h, layer["wi"], layer["wh"], layer["bi"], layer["bh"],
-                mask=mask,
+                mask=mask, reset_after=layer.get("reset_after", True),
             )
             mask = None
         elif kind == "dense":
@@ -309,14 +336,20 @@ def _load_keras_h5(path: str) -> List[Dict]:
                 bias = ws["bias:0"]
                 if bias.ndim == 2:  # reset_after=True: (2, 3H)
                     bi, bh = bias[0], bias[1]
+                    reset_after = True
                 else:
+                    # 1-D bias = Keras reset_after=False (legacy ChemNet
+                    # export): different candidate-gate math, NOT mappable
+                    # onto the reset_after=True equations by zeroing bh.
                     bi, bh = bias, np.zeros_like(bias)
+                    reset_after = False
                 layers.append({
                     "kind": "gru",
                     "wi": ws["kernel:0"],
                     "wh": ws["recurrent_kernel:0"],
                     "bi": bi,
                     "bh": bh,
+                    "reset_after": reset_after,
                 })
             elif cls == "Dense":
                 layers.append({

@@ -78,10 +78,8 @@ def test_preprocess_matches_derived_qm9_sample():
     multiset + degree multiset)."""
     npz = os.path.join(os.path.dirname(__file__), "..", "..", "data",
                        "qm9_kekulized.npz")
-    if not os.path.exists(npz):
-        import pytest
-
-        pytest.skip("derived qm9 npz absent")
+    # load_mol auto-derives a missing qm9_kekulized.npz from the shipped
+    # qm9_test_nx.pkl (mol_loader.derive_qm9) — no skip needed
     from ccsd_tpu.data.mol_loader import load_mol
     from ccsd_tpu.data.mol_utils import smiles_from_kekulized
 

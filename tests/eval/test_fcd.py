@@ -105,9 +105,57 @@ def test_tokenize_two_char_and_unknown():
 def test_featurize_one_hot_and_padding():
     x = featurize_smiles(["CO", "c1ccccc1"], pad_len=12)
     assert x.shape == (2, 12, len(FCD_TOKENS))
-    assert x[0].sum() == 2  # two tokens, rest zero-padded
-    assert x[1].sum() == 8
-    assert np.all(x[0, 2:].sum(axis=-1) == 0)
+    assert x[0].sum() == 3  # two tokens + '.' terminator, rest zero-padded
+    assert x[1].sum() == 9
+    assert np.all(x[0, 3:].sum(axis=-1) == 0)
+
+
+def test_featurize_appends_end_token():
+    # fcd.utils.get_one_hot appends '.' to every SMILES before encoding
+    idx = {t: i for i, t in enumerate(FCD_TOKENS)}
+    x = featurize_smiles(["CO"], pad_len=8)
+    assert x[0, 2, idx["."]] == 1.0
+    assert x[0, 2].sum() == 1.0
+
+
+def test_featurize_rejects_too_long_smiles():
+    import pytest
+
+    with pytest.raises(ValueError, match="pad_len"):
+        featurize_smiles(["C" * 12], pad_len=12)  # 12 + '.' > 12
+    # exactly fitting (incl. terminator) is fine
+    assert featurize_smiles(["C" * 11], pad_len=12).shape == (1, 12, 35)
+
+
+def test_gru_reset_after_false_matches_numpy_reference():
+    """Legacy Keras (1-D bias) gate order: n = tanh(xWn + (r*h) Whn)."""
+    B, T, Cin, H = 3, 7, 5, 4
+    x = rng.normal(size=(B, T, Cin)).astype(np.float32)
+    wi = rng.normal(size=(Cin, 3 * H)).astype(np.float32)
+    wh = rng.normal(size=(H, 3 * H)).astype(np.float32)
+    bi = rng.normal(size=3 * H).astype(np.float32)
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    h = np.zeros((B, H), np.float32)
+    whr, whz, whn = wh[:, :H], wh[:, H : 2 * H], wh[:, 2 * H :]
+    for t in range(T):
+        xp = x[:, t] @ wi + bi
+        xr, xz, xn = xp[:, :H], xp[:, H : 2 * H], xp[:, 2 * H :]
+        r = sigmoid(xr + h @ whr)
+        z = sigmoid(xz + h @ whz)
+        n = np.tanh(xn + (r * h) @ whn)
+        h = (1 - z) * n + z * h
+
+    got = np.asarray(
+        gru_scan(x, wi, wh, bi, np.zeros(3 * H, np.float32),
+                 reset_after=False)
+    )
+    np.testing.assert_allclose(got, h, atol=1e-5)
+    # and it must DIFFER from the reset_after=True math on the same weights
+    ra = np.asarray(gru_scan(x, wi, wh, bi, np.zeros(3 * H, np.float32)))
+    assert np.abs(ra - h).max() > 1e-3
 
 
 # ---------------------------------------------------------------------------
