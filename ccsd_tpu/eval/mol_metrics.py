@@ -15,6 +15,19 @@ primitives with the same definitions:
                          natively on the chem kernel's Morgan fingerprints,
                          BRICS-lite fragments and Bemis-Murcko scaffolds
                          (ccsd_tpu.chem.fingerprints);
+  * IntDiv / IntDiv2   — internal diversity over the generated set's
+                         pairwise Tanimoto matrix (p=1 / p=2);
+  * Filters            — fraction passing the Filters-lite screen
+                         (chem.properties.passes_filters: allowed atoms,
+                         neutral charge, ring size — MCF/PAINS SMARTS
+                         screens documented as excluded);
+  * logP / weight      — 1-D Wasserstein distances of the generated vs
+                         test property distributions (native Crippen-class
+                         logP + exact molecular weight);
+  * SA / QED           — documented exclusions (`None`): both require
+                         RDKit-only data assets (the SA fragment-score
+                         pickle / QED descriptor models) that cannot be
+                         re-derived offline;
   * NSPDK MMD          — via ccsd_tpu.eval.mmd.compute_nspdk_mmd.
 """
 
@@ -97,6 +110,52 @@ def snn_frag_scaf(gen_mols, test_smiles: Sequence[str]
     }
 
 
+def wasserstein_1d(a: Sequence[float], b: Sequence[float]
+                   ) -> Optional[float]:
+    """1-D Wasserstein-1 distance between two empirical distributions
+    (the metric MOSES reports for property distances), computed from the
+    quantile-function integral."""
+    import numpy as np
+
+    a = np.sort(np.asarray(list(a), dtype=np.float64))
+    b = np.sort(np.asarray(list(b), dtype=np.float64))
+    if a.size == 0 or b.size == 0:
+        return None
+    q = np.linspace(0.0, 1.0, 2049)[1:-1]  # interior quantiles
+    qa = np.quantile(a, q)
+    qb = np.quantile(b, q)
+    return float(np.abs(qa - qb).mean())
+
+
+def property_distances(gen_mols, test_smiles: Sequence[str]
+                       ) -> Dict[str, Optional[float]]:
+    """MOSES property block: Wasserstein distances of logP and molecular
+    weight, plus the Filters pass fraction.  SA/QED are documented
+    exclusions (module docstring)."""
+    from ccsd_tpu.chem import from_smiles
+    from ccsd_tpu.chem.properties import (
+        crippen_logp,
+        molecular_weight,
+        passes_filters,
+    )
+
+    gen = [m for m in gen_mols if m is not None]
+    ref = [m for m in (from_smiles(s) for s in test_smiles) if m is not None]
+    out: Dict[str, Optional[float]] = {
+        "logP/Test": None, "weight/Test": None, "Filters": None,
+        "SA/Test": None, "QED/Test": None,  # documented exclusions
+    }
+    if not gen or not ref:
+        return out
+    out["logP/Test"] = wasserstein_1d(
+        [crippen_logp(m) for m in gen], [crippen_logp(m) for m in ref])
+    out["weight/Test"] = wasserstein_1d(
+        [molecular_weight(m) for m in gen],
+        [molecular_weight(m) for m in ref])
+    out["Filters"] = sum(passes_filters(m) for m in gen) / len(gen)
+    return out
+
+
 def get_all_metrics(
     gen_mols,
     n_generated: int,
@@ -104,7 +163,14 @@ def get_all_metrics(
     test_smiles: Sequence[str],
     num_no_correct: int = 0,
 ) -> Dict[str, Optional[float]]:
-    """MOSES-like metric dict for a batch of generated molecules."""
+    """MOSES-like metric dict for a batch of generated molecules.
+
+    Key-comparable to MOSES ``get_all_metrics`` (reference
+    sampler.py:850-857) with documented exceptions: SA/QED are always
+    None (RDKit-only data assets), FCD/Test is None without the
+    pretrained ChemNet blob."""
+    from ccsd_tpu.chem.fingerprints import internal_diversity
+
     smiles = canonical_smiles(gen_mols)
     k_list = [1000, 10000]
     metrics: Dict[str, Optional[float]] = {
@@ -115,6 +181,10 @@ def get_all_metrics(
         "FCD/Test": fcd_score(smiles, test_smiles),
     }
     metrics.update(snn_frag_scaf(gen_mols, test_smiles))
+    valid = [m for m in gen_mols if m is not None]
+    metrics["IntDiv"] = internal_diversity(valid, p=1)
+    metrics["IntDiv2"] = internal_diversity(valid, p=2)
+    metrics.update(property_distances(gen_mols, test_smiles))
     for k in k_list:
         if len(smiles) >= k:
             metrics[f"unique@{k}"] = fraction_unique(smiles, k)
