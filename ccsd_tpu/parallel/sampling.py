@@ -70,6 +70,13 @@ def jit_sharded_sampling(
     flags arrive batch-sharded over 'data'; outputs leave batch-sharded
     (and the rank-2 tensor edge-sharded when the mesh has an 'edge' axis),
     so a host fetching results pulls each shard over its own ICI/PCI link.
+
+    Caveat (jax semantics): the edge-sharded OUTPUT array only
+    materializes when E is divisible by the 'edge' axis size; otherwise
+    GSPMD still pads-and-shards the interior scan but gathers the final
+    array to edge-replicated layout.  Pick an 'edge' size dividing
+    E = N(N-1)/2 (verified at ego_small_CC's real E=153 with edge=3 in
+    tests/parallel/test_sharded_sampling.py).
     """
     repl = NamedSharding(mesh, P())
     data2 = NamedSharding(mesh, P("data", None))

