@@ -262,6 +262,73 @@ def test_fcd_gates_without_weights(monkeypatch):
     assert "weights" in chemnet_weights_status()
 
 
+def _write_keras_h5(path, layers):
+    """Minimal Keras-format .h5: model_config JSON attr + model_weights
+    groups (the duplicated-name nesting Keras writes)."""
+    import json
+
+    import h5py
+
+    cfgs = []
+    with h5py.File(path, "w") as f:
+        wroot = f.create_group("model_weights")
+        for cls, name, cfg, weights in layers:
+            cfgs.append({"class_name": cls, "config": {"name": name, **cfg}})
+            g = wroot.create_group(name).create_group(name)
+            for k, v in weights.items():
+                g.create_dataset(k, data=v)
+        f.attrs["model_config"] = json.dumps(
+            {"class_name": "Sequential", "config": {"layers": cfgs}})
+
+
+def test_fcd_end_to_end_with_synthetic_keras_h5(tmp_path, monkeypatch):
+    """load→featurize→forward→Fréchet runs green from a Keras-shaped .h5
+    (VERDICT r3 next #9), including the reset_after tagging for both GRU
+    bias layouts."""
+    rng_l = np.random.default_rng(7)
+    Cin, C1, H, D = len(FCD_TOKENS), 6, 10, 4
+    path = tmp_path / "chemnet.h5"
+    _write_keras_h5(path, [
+        ("InputLayer", "input", {}, {}),
+        ("Conv1D", "conv", {"strides": [1], "activation": "relu"},
+         {"kernel:0": rng_l.normal(size=(4, Cin, C1)).astype(np.float32) * .1,
+          "bias:0": np.zeros(C1, np.float32)}),
+        ("GRU", "gru_modern", {},
+         {"kernel:0": rng_l.normal(size=(C1, 3 * H)).astype(np.float32) * .1,
+          "recurrent_kernel:0":
+              rng_l.normal(size=(H, 3 * H)).astype(np.float32) * .1,
+          "bias:0": np.zeros((2, 3 * H), np.float32)}),   # reset_after=True
+        ("Dense", "dense", {"activation": "tanh"},
+         {"kernel:0": rng_l.normal(size=(H, D)).astype(np.float32) * .1,
+          "bias:0": np.zeros(D, np.float32)}),
+    ])
+    params = load_chemnet(str(path))
+    assert params is not None
+    assert [p["kind"] for p in params] == ["conv1d", "gru", "dense"]
+    assert params[1]["reset_after"] is True
+
+    monkeypatch.setenv("CCSD_CHEMNET_WEIGHTS", str(path))
+    gen = ["CCO", "CCN", "c1ccccc1", "CC(=O)O", "CCCC"]
+    ref = ["CCO", "COC", "c1ccncc1", "CC(N)=O", "CCC"]
+    score = fcd_score_native(gen, ref)
+    assert score is not None and np.isfinite(score) and score >= 0
+    assert fcd_score_native(gen, gen) == pytest.approx(0.0, abs=1e-6)
+
+    # legacy 1-D-bias GRU is tagged reset_after=False and evaluates
+    path2 = tmp_path / "chemnet_legacy.h5"
+    _write_keras_h5(path2, [
+        ("GRU", "gru_legacy", {},
+         {"kernel:0": rng_l.normal(size=(Cin, 3 * H)).astype(np.float32) * .1,
+          "recurrent_kernel:0":
+              rng_l.normal(size=(H, 3 * H)).astype(np.float32) * .1,
+          "bias:0": np.zeros(3 * H, np.float32)}),        # 1-D bias
+    ])
+    params2 = load_chemnet(str(path2))
+    assert params2 is not None and params2[0]["reset_after"] is False
+    s2 = fcd_score_native(gen, ref, weights_path=str(path2))
+    assert s2 is not None and np.isfinite(s2)
+
+
 def test_fcd_end_to_end_with_synthetic_state_dict(tmp_path, monkeypatch):
     C1, H = 8, 16
     model = torch.nn.ModuleDict(
