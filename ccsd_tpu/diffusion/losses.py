@@ -26,16 +26,38 @@ from ccsd_tpu.ops.masks import (
 )
 
 
-def get_score_fn(sde: SDE, model, params) -> Callable:
+def _compute_cast(params, compute_dtype):
+    """Helpers for the selective-precision fast path (`sample.score_dtype`):
+    cast the float leaves of ``params`` plus every model input to
+    ``compute_dtype`` so the SCORE NETWORK runs in reduced precision while
+    the reverse-diffusion carry, noise, and norm reductions stay f32 —
+    unlike the ``sample.dtype`` bf16-carry mode, nothing on the integrator
+    side is rounded.  Returns (params, cast_in, cast_out)."""
+    if compute_dtype is None:
+        ident = lambda v: v  # noqa: E731
+        return params, ident, ident
+    dt = jnp.dtype(compute_dtype)
+    params = jax.tree.map(
+        lambda a: a.astype(dt)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        params,
+    )
+    return params, (lambda v: v.astype(dt)), (lambda v: v.astype(jnp.float32))
+
+
+def get_score_fn(sde: SDE, model, params, compute_dtype=None) -> Callable:
     """Graph score function (x, adj, flags, t) -> score.
 
     Parity: ccsd/src/losses.py:18-104.  VP/subVP scale the network output by
-    -1/std(t); VE returns the raw output.
+    -1/std(t); VE returns the raw output.  ``compute_dtype`` runs the model
+    (params + inputs) at that precision and returns f32 scores.
     """
+    params, cin, cout = _compute_cast(params, compute_dtype)
     if is_vp_like(sde):
 
         def score_fn(x, adj, flags, t):
-            out = model.apply(params, x, adj, flags=flags)
+            out = cout(model.apply(params, cin(x), cin(adj), flags=cin(flags)))
             std = sde.marginal_std(t)
             # match the model's dtype so a bf16 fast path is not silently
             # promoted back to f32 by the f32 std scalar
@@ -44,29 +66,33 @@ def get_score_fn(sde: SDE, model, params) -> Callable:
     elif isinstance(sde, VESDE):
 
         def score_fn(x, adj, flags, t):
-            return model.apply(params, x, adj, flags=flags)
+            return cout(model.apply(params, cin(x), cin(adj), flags=cin(flags)))
 
     else:
         raise NotImplementedError(f"SDE class {type(sde).__name__} not supported.")
     return score_fn
 
 
-def get_score_fn_cc(sde: SDE, model, params) -> Callable:
+def get_score_fn_cc(sde: SDE, model, params, compute_dtype=None) -> Callable:
     """CC score function (x, adj, rank2, flags, t) -> score.
 
-    Parity: ccsd/src/losses.py:107-198.
+    Parity: ccsd/src/losses.py:107-198.  ``compute_dtype`` as in
+    :func:`get_score_fn`.
     """
+    params, cin, cout = _compute_cast(params, compute_dtype)
     if is_vp_like(sde):
 
         def score_fn(x, adj, rank2, flags, t):
-            out = model.apply(params, x, adj, rank2, flags=flags)
+            out = cout(model.apply(
+                params, cin(x), cin(adj), cin(rank2), flags=cin(flags)))
             std = sde.marginal_std(t)
             return -out / _bcast(std, out).astype(out.dtype)
 
     elif isinstance(sde, VESDE):
 
         def score_fn(x, adj, rank2, flags, t):
-            return model.apply(params, x, adj, rank2, flags=flags)
+            return cout(model.apply(
+                params, cin(x), cin(adj), cin(rank2), flags=cin(flags)))
 
     else:
         raise NotImplementedError(f"SDE class {type(sde).__name__} not supported.")

@@ -98,14 +98,20 @@ class MolSampler(Sampler):
             record_trajectory=save_figs,
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
+        # same selective-precision knob as the generic Sampler
+        sd_name = str(cfg.sample.get("score_dtype", "f32")).lower()
+        score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:
             score_fns = [
-                get_score_fn_cc(sdes[n], models[n], params[n])
+                get_score_fn_cc(sdes[n], models[n], params[n],
+                                compute_dtype=score_dtype)
                 for n in ("x", "adj", "rank2")
             ]
         else:
             score_fns = [
-                get_score_fn(sdes[n], models[n], params[n]) for n in ("x", "adj")
+                get_score_fn(sdes[n], models[n], params[n],
+                             compute_dtype=score_dtype)
+                for n in ("x", "adj")
             ]
         # same mesh / rng / dtype fast paths as the generic Sampler
         from ccsd_tpu.parallel.sampling import (

@@ -213,14 +213,22 @@ class Sampler:
             record_trajectory=save_gif,
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
+        # sample.score_dtype: bf16 — selective precision: the score
+        # NETWORKS run in bf16 while the carry/noise/norms stay f32
+        # (losses._compute_cast); distinct from sample.dtype (bf16 carry)
+        sd_name = str(cfg.sample.get("score_dtype", "f32")).lower()
+        score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:
             score_fns = [
-                get_score_fn_cc(sdes[n], models[n], params[n])
+                get_score_fn_cc(sdes[n], models[n], params[n],
+                                compute_dtype=score_dtype)
                 for n in ("x", "adj", "rank2")
             ]
         else:
             score_fns = [
-                get_score_fn(sdes[n], models[n], params[n]) for n in ("x", "adj")
+                get_score_fn(sdes[n], models[n], params[n],
+                             compute_dtype=score_dtype)
+                for n in ("x", "adj")
             ]
         # optional device mesh (sample.mesh: {data: D[, edge: E]} or 'auto'):
         # the whole scanned reverse diffusion shards over it via GSPMD —

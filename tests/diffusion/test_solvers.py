@@ -207,3 +207,42 @@ def test_s4_solver_cc():
         get_score_fn_cc(sde, mf, pf), fl, k))(_flags(), jax.random.PRNGKey(7))
     assert np.isfinite(np.asarray(out.rank2)).all()
     assert np.isfinite(np.asarray(out.adj)).all()
+
+
+def test_score_dtype_selective_precision(graph_models):
+    """sample.score_dtype path: bf16 score-network compute returns f32
+    scores close to the f32 reference (carry/noise/norms stay exact f32 —
+    unlike the bf16-carry mode nothing integrator-side is rounded)."""
+    mx, px, ma, pa = graph_models
+    sde = VPSDE(N=8, beta_min=0.1, beta_max=1.0)
+    flags = _flags()
+    k = jax.random.PRNGKey(2)
+    x = jax.random.normal(k, (B, N, F))
+    adj = jax.random.normal(k, (B, N, N))
+    adj = (adj + adj.transpose(0, 2, 1)) / 2
+    t = jnp.full((B,), 0.5)
+
+    f32_fn = get_score_fn(sde, ma, pa)
+    bf_fn = get_score_fn(sde, ma, pa, compute_dtype=jnp.bfloat16)
+    ref = np.asarray(f32_fn(x, adj, flags, t))
+    got = np.asarray(bf_fn(x, adj, flags, t))
+    assert got.dtype == np.float32
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.05
+
+    # CC variant
+    spec = get_spec(N, D_MIN, D_MAX)
+    mf = load_model(dict(model_type="ScoreNetworkF", num_layers_mlp=1,
+                         num_layers=2, num_linears=1, nhid=4, c_hid=2,
+                         c_final=2, cnum=2, max_node_num=N, d_min=D_MIN,
+                         d_max=D_MAX, use_hodge_mask=True, use_bn=False,
+                         is_cc=True))
+    pf = mf.init(jax.random.PRNGKey(3))
+    r2 = jax.random.normal(k, (B, spec.num_edges, spec.num_cells))
+    ref = np.asarray(get_score_fn_cc(sde, mf, pf)(x, adj, r2, flags, t))
+    got = np.asarray(get_score_fn_cc(sde, mf, pf,
+                                     compute_dtype=jnp.bfloat16)(
+        x, adj, r2, flags, t))
+    assert got.dtype == np.float32
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.05
