@@ -25,7 +25,7 @@ B, N = 128, 20
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build(steps: int, carry_dtype=None):
+def build(steps: int, carry_dtype=None, score_dtype=None):
     from ccsd_tpu.diffusion.losses import get_score_fn_cc
     from ccsd_tpu.diffusion.sde import VPSDE
     from ccsd_tpu.diffusion.solvers import get_pc_sampler
@@ -53,17 +53,36 @@ def build(steps: int, carry_dtype=None):
         is_cc=True, sde_rank2=sdes["rank2"], shape_rank2=(B, E, K), spec=spec,
         carry_dtype=carry_dtype,
     )
-    sfx = get_score_fn_cc(sdes["x"], models["x"], params["x"])
-    sfa = get_score_fn_cc(sdes["adj"], models["adj"], params["adj"])
-    sfr = get_score_fn_cc(sdes["rank2"], models["rank2"], params["rank2"])
+    sd = jnp.bfloat16 if score_dtype in ("bf16", "bfloat16") else None
+    sfx = get_score_fn_cc(sdes["x"], models["x"], params["x"], compute_dtype=sd)
+    sfa = get_score_fn_cc(sdes["adj"], models["adj"], params["adj"],
+                          compute_dtype=sd)
+    sfr = get_score_fn_cc(sdes["rank2"], models["rank2"], params["rank2"],
+                          compute_dtype=sd)
     return jax.jit(lambda fl, k: sampler(sfx, sfa, sfr, fl, k))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--score-dtype", type=str, default=None)
+    ap.add_argument("--time-only", action="store_true",
+                    help="just time steps/s (no xplane profile)")
     args = ap.parse_args()
-    jitted = build(args.steps)
+    jitted = build(args.steps, score_dtype=args.score_dtype)
+    if args.time_only:
+        import time as _t
+
+        flags = jnp.ones((B, N))
+        jitted(flags, jax.random.PRNGKey(2)).adj.block_until_ready()
+        best = float("inf")
+        for i in range(3):
+            t0 = _t.perf_counter()
+            jitted(flags, jax.random.PRNGKey(3 + i)).adj.block_until_ready()
+            best = min(best, _t.perf_counter() - t0)
+        print(f"steps/s: {args.steps/best:.2f}  us/step: "
+              f"{best/args.steps*1e6:.0f}")
+        return
     flags = jnp.ones((B, N))
     jitted(flags, jax.random.PRNGKey(2)).adj.block_until_ready()
     tmp = tempfile.mkdtemp(prefix="cc_prof_")

@@ -46,6 +46,9 @@ def main():
     p.add_argument("--out", type=str, default="quality_sweep.json")
     p.add_argument("--dtype", type=str, default=None,
                    help="override sample.dtype (bf16|f32)")
+    p.add_argument("--score-dtype", type=str, default=None,
+                   help="override sample.score_dtype (bf16 score networks, "
+                        "f32 carry — the selective-precision fast path)")
     p.add_argument("--rng", type=str, default=None,
                    help="override sample.rng (rbg|threefry)")
     p.add_argument("--seed", type=int, default=None,
@@ -73,6 +76,8 @@ def main():
         cfg.config_name = config_name
         if args.dtype:
             cfg.sample.dtype = args.dtype
+        if args.score_dtype:
+            cfg.sample.score_dtype = args.score_dtype
         if args.rng:
             cfg.sample.rng = args.rng
         if args.seed is not None:
