@@ -30,6 +30,10 @@ def main():
     p.add_argument("--scan", action=argparse.BooleanOptionalAction,
                    default=True, help="scanned (on-device) epoch loop")
     p.add_argument("--nspdk", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="train.remat: rematerialized forwards (HBM relief "
+                        "for grid_small_CC's 693 MB rank-2 batches)")
+    p.add_argument("--divide-batch", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -40,6 +44,10 @@ def main():
     cfg = get_config(args.config, seed=args.seed, folder="./")
     if args.epochs:
         cfg.train.num_epochs = args.epochs
+    if args.remat:
+        cfg.train.remat = True
+    if args.divide_batch:
+        cfg.sample.divide_batch = args.divide_batch
     t0 = time.perf_counter()
     trainer = get_trainer_from_config(cfg)
     ckpt = trainer.train_scanned() if args.scan else trainer.train()

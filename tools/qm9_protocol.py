@@ -78,8 +78,10 @@ def leg_two_stage(args):
     cfg.sample.divide_batch = args.divide
     cfg.sample.nspdk = True
     cfg.sample.seed = 42
+    if args.use_ema:
+        cfg.sample.use_ema = True
     out = TwoStageSampler(cfg, log=False).sample()
-    _dump("two_stage", out)
+    _dump("two_stage_ema" if args.use_ema else "two_stage", out)
 
 
 def main():
@@ -89,6 +91,7 @@ def main():
     p.add_argument("--n-samples", type=int, default=None)
     p.add_argument("--divide", type=int, default=4)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--use-ema", action="store_true")
     args = p.parse_args()
     {"dense": leg_dense, "train": leg_train,
      "two_stage": leg_two_stage}[args.leg](args)
