@@ -49,3 +49,25 @@ def test_two_stage_trainer_rejects_cc_adj_model(tmp_path):
     cfg.train.two_stage = True
     with pytest.raises(AssertionError):
         TwoStageTrainer(cfg, log=False)
+
+
+@pytest.mark.slow
+def test_two_stage_minibatch_training(tmp_path):
+    """train.minibatch subsamples the batch per step (round-4 diversity
+    remedy); losses stay finite and the checkpoint samples."""
+    from ccsd_tpu.sampling.sampler import get_sampler_from_config
+    from ccsd_tpu.training.trainer import get_trainer_from_config
+
+    name = _make_dataset(tmp_path, cc=True)
+    cfg = _config(tmp_path, name, cc=True)
+    cfg.model.adj = "ScoreNetworkA"
+    cfg.train.two_stage = True
+    cfg.train.num_epochs = 4
+    cfg.train.minibatch = 4
+    cfg.sample.two_stage = True
+
+    trainer = get_trainer_from_config(cfg, log=False)
+    ckpt_name = trainer.train()
+    cfg.ckpt = ckpt_name + "_final"
+    results = get_sampler_from_config(cfg, log=False).sample()
+    assert results["n_samples"] > 0
