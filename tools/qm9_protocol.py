@@ -61,6 +61,9 @@ def leg_train(args):
     cfg = get_config("qm9_CC_two_stage", seed=42, folder="./")
     cfg.train.num_epochs = args.epochs
     cfg.train.print_interval = max(1, args.epochs // 20)
+    if args.minibatch:
+        cfg.train.minibatch = args.minibatch
+        cfg.train.name = f"mb{args.minibatch}"
     t0 = time.perf_counter()
     trainer = get_trainer_from_config(cfg, log=True)
     name = trainer.train()
@@ -92,6 +95,7 @@ def main():
     p.add_argument("--divide", type=int, default=4)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--minibatch", type=int, default=None)
     args = p.parse_args()
     {"dense": leg_dense, "train": leg_train,
      "two_stage": leg_two_stage}[args.leg](args)
