@@ -98,8 +98,9 @@ class MolSampler(Sampler):
             record_trajectory=save_figs,
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
-        # same selective-precision knob as the generic Sampler
-        sd_name = str(cfg.sample.get("score_dtype", "f32")).lower()
+        # same selective-precision knob + CC default as the generic Sampler
+        sd_default = "bf16" if self.is_cc else "f32"
+        sd_name = str(cfg.sample.get("score_dtype", sd_default)).lower()
         score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:
             score_fns = [

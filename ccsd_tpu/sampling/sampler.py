@@ -213,10 +213,13 @@ class Sampler:
             record_trajectory=save_gif,
         )
         sdes = {n: load_sde(configt.sde[n]) for n in params}
-        # sample.score_dtype: bf16 — selective precision: the score
-        # NETWORKS run in bf16 while the carry/noise/norms stay f32
-        # (losses._compute_cast); distinct from sample.dtype (bf16 carry)
-        sd_name = str(cfg.sample.get("score_dtype", "f32")).lower()
+        # sample.score_dtype — selective precision: the score NETWORKS run
+        # in bf16 while the carry/noise/norms stay f32
+        # (losses._compute_cast); distinct from sample.dtype (bf16 carry).
+        # Default bf16 on the CC loop: 1.20x, cleared by the 3-seed MMD
+        # bisect (BASELINE.md round 4); opt out with score_dtype: f32.
+        sd_default = "bf16" if self.is_cc else "f32"
+        sd_name = str(cfg.sample.get("score_dtype", sd_default)).lower()
         score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:
             score_fns = [
