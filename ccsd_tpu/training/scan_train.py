@@ -40,12 +40,19 @@ def build_epoch_scanner(
 
     num_epochs is static (recompiles per distinct value; call with the same
     chunk size, e.g. 500, and loop).
+
+    The dataset arrays are passed to the jitted program as ARGUMENTS (bound
+    via the returned closure), never captured as tracer constants: captured
+    constants are materialized into the lowered program, which at
+    grid_small_CC shapes (a 6.9 GB rank-2 train tensor) multiplies host
+    RAM during compilation until the kernel OOM-kills the process
+    (observed round 4; jax's TS_WARN_BYTES warning fires for exactly this).
     """
     n = train_arrays[0].shape[0]
     eff_batch = min(batch_size, n)
     steps_per_epoch = max(1, n // eff_batch)
 
-    def epoch_body(carry, key):
+    def epoch_body(train_arrays, test_arrays, carry, key):
         params, opts, emas = carry
         k_perm, k_loss, k_test = jax.random.split(key, 3)
         perm = jax.random.permutation(k_perm, n)
@@ -82,11 +89,19 @@ def build_epoch_scanner(
             step_losses.mean(axis=0), jnp.stack(test_losses)
         )
 
-    def run(params, opts, emas, key, num_epochs: int):
+    def run(params, opts, emas, key, train_arrays, test_arrays,
+            num_epochs: int):
         keys = jax.random.split(key, num_epochs)
+        body = lambda c, k: epoch_body(train_arrays, test_arrays, c, k)
         (params, opts, emas), (train_l, test_l) = jax.lax.scan(
-            epoch_body, (params, opts, emas), keys
+            body, (params, opts, emas), keys
         )
         return params, opts, emas, train_l, test_l
 
-    return jax.jit(run, static_argnames="num_epochs")
+    jitted = jax.jit(run, static_argnames="num_epochs")
+
+    def bound(params, opts, emas, key, num_epochs: int):
+        return jitted(params, opts, emas, key, train_arrays, test_arrays,
+                      num_epochs)
+
+    return bound
