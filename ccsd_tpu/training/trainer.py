@@ -242,6 +242,13 @@ class Trainer:
         tc = cfg.train
         train_arrays = tuple(jnp.asarray(a) for a in self.train_loader.arrays)
         test_arrays = tuple(jnp.asarray(a) for a in self.test_loader.arrays)
+        # train.test_eval_max caps the per-epoch monitoring loss to the
+        # first M test samples — at grid_small_CC shapes the full test
+        # tensor alone is 1.7 GB of HBM (the scanned program round-4 OOMed
+        # by 470 MB with it resident)
+        te_max = int(tc.get("test_eval_max") or 0)
+        if te_max:
+            test_arrays = tuple(a[:te_max] for a in test_arrays)
         runner = build_epoch_scanner(
             self.names, self.loss_fn, self.optimizers, train_arrays,
             test_arrays, cfg.data.batch_size,

@@ -34,6 +34,8 @@ def main():
                    help="train.remat: rematerialized forwards (HBM relief "
                         "for grid_small_CC's 693 MB rank-2 batches)")
     p.add_argument("--divide-batch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--test-eval-max", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -48,6 +50,10 @@ def main():
         cfg.train.remat = True
     if args.divide_batch:
         cfg.sample.divide_batch = args.divide_batch
+    if args.batch_size:
+        cfg.data.batch_size = args.batch_size
+    if args.test_eval_max:
+        cfg.train.test_eval_max = args.test_eval_max
     t0 = time.perf_counter()
     trainer = get_trainer_from_config(cfg)
     ckpt = trainer.train_scanned() if args.scan else trainer.train()
