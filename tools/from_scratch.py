@@ -36,6 +36,10 @@ def main():
     p.add_argument("--divide-batch", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--test-eval-max", type=int, default=None)
+    p.add_argument("--epochs-per-call", type=int, default=500,
+                   help="scanned-trainer chunk size; small chunks keep "
+                        "single device executions short (the axon tunnel "
+                        "kills workers on very long calls)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -56,7 +60,8 @@ def main():
         cfg.train.test_eval_max = args.test_eval_max
     t0 = time.perf_counter()
     trainer = get_trainer_from_config(cfg)
-    ckpt = trainer.train_scanned() if args.scan else trainer.train()
+    ckpt = (trainer.train_scanned(epochs_per_call=args.epochs_per_call)
+            if args.scan else trainer.train())
     t_train = time.perf_counter() - t0
 
     cfg.ckpt = ckpt + "_final"
