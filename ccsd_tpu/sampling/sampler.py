@@ -207,6 +207,22 @@ class Sampler:
         except Exception:
             gif_default = False
         save_gif = bool(cfg.sample.get("save_gif", gif_default))
+        # trajectory recording stacks one sample's per-step means across the
+        # whole scan — (steps, N, N) for graphs but (steps, E, K) for CCs,
+        # which at grid_small_CC shapes is 1000*1176*18424*4 B = 86 GB and
+        # OOMs the chip (observed round 4).  Auto-disable beyond a budget.
+        if save_gif:
+            steps = int(configt.sde.adj.num_scales)
+            traj_bytes = steps * configt.data.max_node_num ** 2 * 4
+            if self.is_cc and spec is not None:
+                traj_bytes += steps * spec.num_edges * spec.num_cells * 4
+            budget = int(cfg.sample.get("trajectory_max_bytes", 2 << 30))
+            if traj_bytes > budget:
+                self.logger.log(
+                    f"trajectory recording disabled: {traj_bytes/1e9:.1f} GB "
+                    f"of per-step means exceeds trajectory_max_bytes "
+                    f"({budget/1e9:.1f} GB)")
+                save_gif = False
 
         sampling_fn = load_sampling_fn(
             configt, cfg.sampler, cfg.sample, self.is_cc, batch_size, spec=spec,
