@@ -328,7 +328,10 @@ def _bench_zinc(jax, jnp):
 
 
 def main() -> None:
-    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "900")))
+    # three legs (graph, CC, zinc per-stage) at tonight's axon compile
+    # latency can approach 15 min of pure compilation; the watchdog bounds
+    # a WEDGED tunnel, not slow-but-progressing compiles
+    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "2400")))
     import jax
     import jax.numpy as jnp
 
