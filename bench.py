@@ -204,9 +204,16 @@ def _bench_cc(jax, jnp):
         scale_eps=cfg.sampler.scale_eps, n_steps=1, denoise=True, eps=1e-4,
         is_cc=True, sde_rank2=sdes["rank2"], shape_rank2=(B, E, K), spec=spec,
     )
-    sfx = get_score_fn_cc(sdes["x"], models["x"], params["x"])
-    sfa = get_score_fn_cc(sdes["adj"], models["adj"], params["adj"])
-    sfr = get_score_fn_cc(sdes["rank2"], models["rank2"], params["rank2"])
+    # selective-precision bf16 score networks: the PRODUCTION CC-sampling
+    # default since round 4 (3-seed MMD clearance, BASELINE.md) — bench
+    # measures the path users actually get, like the graph leg's fast
+    # lowerings.  Carry/noise/norms stay f32.
+    sfx = get_score_fn_cc(sdes["x"], models["x"], params["x"],
+                          compute_dtype=jnp.bfloat16)
+    sfa = get_score_fn_cc(sdes["adj"], models["adj"], params["adj"],
+                          compute_dtype=jnp.bfloat16)
+    sfr = get_score_fn_cc(sdes["rank2"], models["rank2"], params["rank2"],
+                          compute_dtype=jnp.bfloat16)
     jitted = jax.jit(lambda fl, k: sampler(sfx, sfa, sfr, fl, k))
     flags = jnp.ones((B, N))
 
