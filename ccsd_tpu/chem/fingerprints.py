@@ -104,25 +104,28 @@ def tanimoto_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     pop_a = a_f.sum(1, keepdims=True)
     pop_b = b_f.sum(1, keepdims=True)
     union = pop_a + pop_b.T - inter
-    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+    # MOSES maps 0/0 similarities (both fingerprints empty) to 1, not 0
+    # (fixes/utils.py jac[np.isnan(jac)] = 1); match that convention.
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 1.0)
 
 
 def internal_diversity(gen_mols, p: int = 1, radius: int = 2,
                        n_bits: int = 2048, block: int = 2048) -> float:
     """MOSES IntDiv (p=1) / IntDiv2 (p=2):
-    ``1 - (mean over all n^2 ordered pairs of T(m_i, m_j)^p)^(1/p)``,
-    self-pairs included — exactly MOSES's average_agg_tanimoto(agg='mean')
-    convention (reference emits these via get_all_metrics,
+    ``1 - mean_i (mean_j T(m_i, m_j)^p)^(1/p)``, self-pairs included —
+    exactly MOSES's average_agg_tanimoto(agg='mean') convention (the 1/p
+    root is taken PER MOLECULE before the outer mean, fixes/utils.py
+    average_agg_tanimoto; reference emits these via get_all_metrics,
     sampler.py:850-857)."""
     if not gen_mols:
         return 0.0
     fps = np.stack([morgan_fingerprint(m, radius, n_bits) for m in gen_mols])
     n = len(fps)
-    acc = 0.0
+    row_means = np.zeros(n, dtype=np.float64)
     for s in range(0, n, block):
         sim = tanimoto_matrix(fps[s:s + block], fps)
-        acc += float((sim ** p).sum())
-    return 1.0 - (acc / (n * n)) ** (1.0 / p)
+        row_means[s:s + block] = (sim.astype(np.float64) ** p).mean(axis=1)
+    return float(1.0 - (row_means ** (1.0 / p)).mean())
 
 
 def snn_similarity(gen_mols, ref_mols, radius: int = 2,

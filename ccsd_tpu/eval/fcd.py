@@ -458,13 +458,29 @@ def fcd_score_native(
     ref_smiles: Sequence[str],
     weights_path: Optional[str] = None,
 ) -> Optional[float]:
-    """End-to-end FCD; None when the pretrained weights are unavailable."""
-    if not smiles or not ref_smiles:
-        _status["reason"] = "empty SMILES set"
-        return None
+    """End-to-end FCD; None when the pretrained weights are unavailable.
+
+    Over-long SMILES (tokenizing past the ChemNet pad length) are dropped
+    here with a logged count rather than aborting the whole metrics pass —
+    the strict ValueError stays in the low-level encoder, but one
+    pathological generated string must not void a 10k-sample run."""
     params = load_chemnet(weights_path)
     if params is None:
         return None
-    a1 = chemnet_activations(list(smiles), params)
-    a2 = chemnet_activations(list(ref_smiles), params)
+
+    def _fits(s: str) -> bool:
+        return len(tokenize_smiles(s + ".")) <= FCD_PAD_LEN
+
+    kept = [s for s in smiles if _fits(s)]
+    kept_ref = [s for s in ref_smiles if _fits(s)]
+    n_drop = (len(smiles) - len(kept)) + (len(ref_smiles) - len(kept_ref))
+    if n_drop:
+        print(f"[fcd] dropped {n_drop} SMILES longer than the ChemNet pad "
+              f"length {FCD_PAD_LEN} (gen {len(smiles) - len(kept)}, "
+              f"ref {len(ref_smiles) - len(kept_ref)})", flush=True)
+    if not kept or not kept_ref:
+        _status["reason"] = "empty SMILES set"
+        return None
+    a1 = chemnet_activations(kept, params)
+    a2 = chemnet_activations(kept_ref, params)
     return fcd_from_activations(a1, a2)

@@ -94,6 +94,17 @@ def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
     return maker(sde_x, sde_adj, shape_x, shape_adj, **kwargs)
 
 
+# CC configs where the selective-precision bf16 score-network fast path has
+# a multi-seed MMD clearance (BASELINE.md "bf16 score-network bisect").
+# Sampling on these datasets defaults to score_dtype=bf16; everything else
+# defaults to f32 until its own bisect clears it (round-4 verdict weak #2:
+# bf16 effects are config-dependent — never widen this set without a
+# measurement).
+BF16_SCORE_CLEARED = {
+    "community_small_CC",  # 3-seed bisect, round 4
+}
+
+
 def worker_kwargs_from_config(data_cfg) -> Dict[str, Any]:
     """CC-eval worker kwargs from a config's data section.
 
@@ -195,6 +206,16 @@ class Sampler:
         if divide_batch:
             batch_size //= int(divide_batch)
         n_rounds = max(1, math.ceil(len(test_objs) / batch_size))
+        # sample.max_samples: cap the generated-set size below the reference
+        # protocol's len(test) — used for reduced-count rows on configs
+        # whose dense FLOPs make the full protocol impractical on one chip
+        # (e.g. ego_small_CC's K=12,444); such rows are labeled as reduced
+        # in BASELINE.md.
+        max_samples = cfg.sample.get("max_samples")
+        if max_samples:
+            n_rounds = min(
+                n_rounds, max(1, math.ceil(int(max_samples) / batch_size))
+            )
 
         # diffusion-trajectory GIFs: gated like the reference on
         # general_config.plotly_fig (sampler.py:328-360), overridable per-run
@@ -232,9 +253,13 @@ class Sampler:
         # sample.score_dtype — selective precision: the score NETWORKS run
         # in bf16 while the carry/noise/norms stay f32
         # (losses._compute_cast); distinct from sample.dtype (bf16 carry).
-        # Default bf16 on the CC loop: 1.20x, cleared by the 3-seed MMD
-        # bisect (BASELINE.md round 4); opt out with score_dtype: f32.
-        sd_default = "bf16" if self.is_cc else "f32"
+        # Default bf16 ONLY on CC configs with a multi-seed MMD clearance
+        # (BF16_SCORE_CLEARED below; round-4 verdict weak #2 — the round-4
+        # default was flipped for all CC sampling off a single-dataset
+        # bisect); opt in/out per run with sample.score_dtype.
+        sd_default = ("bf16" if self.is_cc
+                      and str(configt.data.data) in BF16_SCORE_CLEARED
+                      else "f32")
         sd_name = str(cfg.sample.get("score_dtype", sd_default)).lower()
         score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:

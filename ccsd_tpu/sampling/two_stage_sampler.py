@@ -190,7 +190,9 @@ class TwoStageSampler:
                 mols, len(x_raw), canonicalize_smiles(train_smiles),
                 canonicalize_smiles(test_smiles), num_no_correct,
             )
-            if cfg.sample.get("nspdk", False):
+            # Default ON to match the reference protocol (sampler.py:858-863);
+            # opt out with `sample.nspdk: false`.
+            if cfg.sample.get("nspdk", True):
                 from ccsd_tpu.data.loader import load_dataset
                 from ccsd_tpu.eval.mmd import compute_nspdk_mmd
 

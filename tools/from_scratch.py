@@ -41,6 +41,10 @@ def main():
                         "single device executions short (the axon tunnel "
                         "kills workers on very long calls)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--score-dtype", type=str, default=None,
+                   help="sample.score_dtype override (f32 pins the "
+                        "conservative path on configs where the bf16 "
+                        "default has no quality clearance yet)")
     args = p.parse_args()
 
     from ccsd_tpu.sampling.sampler import get_sampler_from_config
@@ -67,6 +71,8 @@ def main():
     cfg.ckpt = ckpt + "_final"
     if args.nspdk:
         cfg.sample.nspdk = True
+    if args.score_dtype:
+        cfg.sample.score_dtype = args.score_dtype
     t0 = time.perf_counter()
     sampler = get_sampler_from_config(cfg)
     out = sampler.sample()
