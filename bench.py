@@ -41,6 +41,11 @@ REF_BASELINE_CC_STEPS_PER_S = 1.0 / 22.04  # reference torch CPU, CC loop
 
 B, N, F = 128, 20, 10
 STEPS = 1000
+# CCSD_BENCH_SMOKE=1: tiny-shape flow validation on CPU (2 steps, small
+# batches) — numbers are meaningless, only the plumbing is checked
+_SMOKE = os.environ.get("CCSD_BENCH_SMOKE") == "1"
+if _SMOKE:
+    B, STEPS = 4, 2
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "bench_cache.json")
 
@@ -49,6 +54,10 @@ CACHE = os.path.join(REPO, "bench_cache.json")
 # workload is the bf16 peak (197 TFLOP/s) — MFU reported against that is
 # conservative (a pure-bf16 port could only look better).
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+# HBM peak for the bandwidth speed-of-light accounting (round-4 verdict
+# next #4): v5e has 819 GB/s per chip.  Memory-bound legs are judged by
+# achieved-GB/s / this, not by FLOP-MFU.
+PEAK_HBM = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
 
 
 def _watchdog(seconds: float) -> None:
@@ -102,6 +111,40 @@ def _compiled_flops(fn, *args):
         return float(ca["flops"])
     except Exception:
         return None
+
+
+def _compiled_bytes(fn, *args):
+    """XLA cost-analysis 'bytes accessed' of one call — the compiler's own
+    post-fusion estimate of HBM traffic (operands + outputs of every fused
+    computation).  Same scan caveat as _compiled_flops: analyze ONE model
+    eval, never the scanned sampler."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["bytes accessed"])
+    except Exception:
+        return None
+
+
+def _stream_bytes_per_step(eval_bytes, tensors, evals_per_model=2):
+    """Total HBM bytes touched per diffusion step.
+
+    = score-network traffic (cost-analysis bytes per eval, which already
+      covers param reads + carry-tensor reads + score writes)
+    + carry-update traffic: per tensor, corrector AND predictor each read
+      the tensor + its score + fresh noise and write the updated tensor
+      (~4 tensor-sized accesses per phase, 8 per step) — the (B,E,K)
+      streams DESIGN_NOTES calls 'HBM-stream-bound'.
+
+    This is an ESTIMATE (XLA may keep small tensors in VMEM across fused
+    regions), good to tens of percent — enough to state fraction-of-peak.
+    """
+    model_traffic = sum(b for b in eval_bytes if b) * evals_per_model
+    carry_traffic = 8.0 * sum(t.size * t.dtype.itemsize for t in tensors)
+    return model_traffic + carry_traffic
 
 
 def _time_best_of(fn, reps=3):
@@ -171,7 +214,10 @@ def _bench_graph(jax, jnp):
     sfa_ref = get_score_fn(sde_adj, ma_ref, pa)
     fa_ref = _compiled_flops(sfa_ref, x0, a0, flags, t0)
     useful = (fx + fa_ref) * 2 * STEPS if (fx and fa_ref) else None
-    return elapsed, flops, useful
+    bx = _compiled_bytes(sfx, x0, a0, flags, t0)
+    ba = _compiled_bytes(sfa, x0, a0, flags, t0)
+    bytes_step = _stream_bytes_per_step([bx, ba], [x0, a0])
+    return elapsed, flops, useful, bytes_step
 
 
 def _bench_cc(jax, jnp):
@@ -237,7 +283,11 @@ def _bench_cc(jax, jnp):
         _compiled_flops(sf, x0, a0, r0, flags, t0) for sf in ref_fns
     ]
     useful = (sum(per_eval_ref) * 2 * STEPS) if all(per_eval_ref) else None
-    return elapsed, flops, useful, E, K
+    per_eval_bytes = [
+        _compiled_bytes(sf, x0, a0, r0, flags, t0) for sf in (sfx, sfa, sfr)
+    ]
+    bytes_step = _stream_bytes_per_step(per_eval_bytes, [x0, a0, r0])
+    return elapsed, flops, useful, E, K, bytes_step
 
 
 def _bench_zinc(jax, jnp):
@@ -265,7 +315,7 @@ def _bench_zinc(jax, jnp):
     from ccsd_tpu.ops.cells import ComplexSpec
     from ccsd_tpu.ops.masks import quantize
 
-    Bz, Nz, Fz, KMAX = 256, 38, 9, 5
+    Bz, Nz, Fz, KMAX = (4, 38, 9, 5) if _SMOKE else (256, 38, 9, 5)
     spec = ComplexSpec(N=Nz, d_min=3, d_max=3)  # only num_edges used: E=703
     E = spec.num_edges
     mx = load_model(dict(model_type="ScoreNetworkX", max_feat_num=Fz, depth=2,
@@ -329,23 +379,104 @@ def _bench_zinc(jax, jnp):
         .block_until_ready())
     ff = _compiled_flops(sff, jnp.zeros((Bz, E, km)), flags, t0v)
     s2_flops = ff * 2 * STEPS if ff else None
+    bx = _compiled_bytes(sfx, x0, a0, flags, t0v)
+    ba = _compiled_bytes(sfa, x0, a0, flags, t0v)
+    s1_bytes = _stream_bytes_per_step([bx, ba], [x0, a0])
+    bf = _compiled_bytes(sff, jnp.zeros((Bz, E, km)), flags, t0v)
+    s2_bytes = _stream_bytes_per_step([bf], [jnp.zeros((Bz, E, km))])
     return dict(t1=t1, t2=t2, t_bridge=t_bridge, s1_flops=s1_flops,
                 s1_useful=s1_useful, s2_flops=s2_flops, E=E, B=Bz,
-                k_max=km)
+                k_max=km, s1_bytes=s1_bytes, s2_bytes=s2_bytes)
+
+
+def _bench_grid_cc(jax, jnp):
+    """Dense-CC leg at grid_small_CC's REAL shapes — N=49, E=1176, K=18,424
+    (round-4 verdict missing #1: the one regime where the E x E Hodge-dual
+    attention hands the MXU real tiles had zero perf accounting).  B=4 and
+    100 steps: per-step cost is what matters, and the (B,E,K) f32 carry is
+    347 MB.  Score networks run f32 — grid has no bf16 quality clearance
+    (sampler.BF16_SCORE_CLEARED), so this measures the production default.
+    Ref hot loop being replaced: solver.py:1123-1147 driving
+    ScoreNetwork_F.py:24-217 + ScoreNetwork_A_CC.py:275-332 at
+    config/grid_small_CC.yaml shapes."""
+    from ccsd_tpu.diffusion.losses import get_score_fn_cc
+    from ccsd_tpu.diffusion.sde import VPSDE
+    from ccsd_tpu.diffusion.solvers import get_pc_sampler
+    from ccsd_tpu.models.registry import load_model, load_model_params, with_fused
+    from ccsd_tpu.ops.cells import ComplexSpec
+    from ccsd_tpu.utils.config import get_config
+
+    Bg, STEPS_G = (1, 2) if _SMOKE else (4, 100)
+    cfg = get_config("grid_small_CC", seed=0, folder=REPO)
+    Ng, Fg = cfg.data.max_node_num, cfg.data.max_feat_num  # 49, 5
+    defs_ref = dict(
+        zip(("x", "adj", "rank2"), load_model_params(cfg, is_cc=True)))
+    defs = with_fused(dict(defs_ref))
+    models = {n: load_model(d) for n, d in defs.items()}
+    models_ref = {n: load_model(d) for n, d in defs_ref.items()}
+    key = jax.random.PRNGKey(0)
+    params = {n: m.init(jax.random.fold_in(key, i))
+              for i, (n, m) in enumerate(models.items())}
+    spec = ComplexSpec(N=Ng, d_min=cfg.data.d_min, d_max=cfg.data.d_max)
+    E, K = spec.num_edges, spec.num_cells
+    sdes = {n: VPSDE(N=STEPS_G, beta_min=0.1, beta_max=1.0)
+            for n in ("x", "adj", "rank2")}
+    sampler = get_pc_sampler(
+        sdes["x"], sdes["adj"], (Bg, Ng, Fg), (Bg, Ng, Ng),
+        predictor="Reverse", corrector="Langevin", snr=cfg.sampler.snr,
+        scale_eps=cfg.sampler.scale_eps, n_steps=1, denoise=True, eps=1e-4,
+        is_cc=True, sde_rank2=sdes["rank2"], shape_rank2=(Bg, E, K),
+        spec=spec,
+    )
+    fns = [get_score_fn_cc(sdes[n], models[n], params[n])
+           for n in ("x", "adj", "rank2")]
+    jitted = jax.jit(lambda fl, k: sampler(*fns, fl, k))
+    flags = jnp.ones((Bg, Ng))
+    jitted(flags, jax.random.PRNGKey(2)).adj.block_until_ready()  # compile
+    elapsed = _time_best_of(
+        lambda i: jitted(flags, jax.random.PRNGKey(3 + i)).adj
+        .block_until_ready(), reps=2)
+    x0 = jnp.zeros((Bg, Ng, Fg))
+    a0 = jnp.zeros((Bg, Ng, Ng))
+    r0 = jnp.zeros((Bg, E, K))
+    t0 = jnp.zeros((Bg,))
+    per_eval = [_compiled_flops(sf, x0, a0, r0, flags, t0) for sf in fns]
+    flops = (sum(per_eval) * 2 * STEPS_G) if all(per_eval) else None
+    ref_fns = [get_score_fn_cc(sdes[n], models_ref[n], params[n])
+               for n in ("x", "adj", "rank2")]
+    per_ref = [_compiled_flops(sf, x0, a0, r0, flags, t0) for sf in ref_fns]
+    useful = (sum(per_ref) * 2 * STEPS_G) if all(per_ref) else None
+    per_bytes = [_compiled_bytes(sf, x0, a0, r0, flags, t0) for sf in fns]
+    bytes_step = _stream_bytes_per_step(per_bytes, [x0, a0, r0])
+    return dict(elapsed=elapsed, flops=flops, useful=useful, E=E, K=K,
+                B=Bg, steps=STEPS_G, bytes_step=bytes_step)
 
 
 def main() -> None:
     # three legs (graph, CC, zinc per-stage) at tonight's axon compile
     # latency can approach 15 min of pure compilation; the watchdog bounds
     # a WEDGED tunnel, not slow-but-progressing compiles
-    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "2400")))
+    # four legs (graph, CC, grid-CC, zinc per-stage); compile latency alone
+    # can approach 20 min over the axon tunnel — the watchdog bounds a
+    # WEDGED tunnel, not slow-but-progressing compiles
+    _watchdog(float(os.environ.get("CCSD_BENCH_TIMEOUT", "3000")))
     import jax
     import jax.numpy as jnp
 
     device = jax.devices()[0]
     peak = PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
+    peak_bw = PEAK_HBM.get(getattr(device, "device_kind", ""), None)
 
-    g_elapsed, g_flops, g_useful = _bench_graph(jax, jnp)
+    def _bw_fields(holder, prefix, bytes_step, steps, elapsed):
+        """achieved GB/s + fraction of HBM peak for one leg (verdict r4
+        next #4: memory-bound loops are judged by bandwidth, not FLOP-MFU)."""
+        if not (bytes_step and peak_bw and elapsed):
+            return
+        gbps = bytes_step * steps / elapsed / 1e9
+        holder[f"{prefix}_hbm_gbps"] = round(gbps, 1)
+        holder[f"{prefix}_hbm_frac"] = round(gbps * 1e9 / peak_bw, 4)
+
+    g_elapsed, g_flops, g_useful, g_bytes = _bench_graph(jax, jnp)
     edges = B * (N * (N - 1) // 2)
     edges_per_s = edges * STEPS / g_elapsed
     record = {
@@ -369,9 +500,10 @@ def main() -> None:
         # useful-FLOP MFU: reference-formulation FLOPs (no block-diag
         # padding) over OUR wall time — the padding-proof figure
         record["graph_useful_mfu"] = round(g_useful / g_elapsed / peak, 5)
+    _bw_fields(record, "graph", g_bytes, STEPS, g_elapsed)
 
     try:
-        cc_elapsed, cc_flops, cc_useful, E, K = _bench_cc(jax, jnp)
+        cc_elapsed, cc_flops, cc_useful, E, K, cc_bytes = _bench_cc(jax, jnp)
         cc_steps_per_s = STEPS / cc_elapsed
         record.update({
             "cc_sampler_steps_per_s": round(cc_steps_per_s, 2),
@@ -385,8 +517,32 @@ def main() -> None:
             record["cc_tflops_per_s"] = round(cc_flops / cc_elapsed / 1e12, 3)
         if cc_useful and peak:
             record["cc_useful_mfu"] = round(cc_useful / cc_elapsed / peak, 5)
+        _bw_fields(record, "cc", cc_bytes, STEPS, cc_elapsed)
     except Exception as e:  # CC leg must never lose the primary metric
         record["cc_error"] = f"{type(e).__name__}: {e}"
+
+    try:
+        g = _bench_grid_cc(jax, jnp)
+        grid_rec = {
+            "shape": {"B": g["B"], "E": g["E"], "K": g["K"]},
+            "steps_per_s": round(g["steps"] / g["elapsed"], 2),
+            "edges_per_s": round(
+                g["B"] * g["E"] * g["steps"] / g["elapsed"], 1),
+            "wall_s": round(g["elapsed"], 3),
+            "bench_steps": g["steps"],
+        }
+        if g["flops"] and peak:
+            grid_rec["mfu"] = round(g["flops"] / g["elapsed"] / peak, 4)
+            grid_rec["tflops_per_s"] = round(
+                g["flops"] / g["elapsed"] / 1e12, 3)
+        if g["useful"] and peak:
+            grid_rec["useful_mfu"] = round(
+                g["useful"] / g["elapsed"] / peak, 5)
+        _bw_fields(grid_rec, "grid", g["bytes_step"], g["steps"],
+                   g["elapsed"])
+        record["grid_cc"] = grid_rec
+    except Exception as e:
+        record["grid_cc_error"] = f"{type(e).__name__}: {e}"
 
     try:
         z = _bench_zinc(jax, jnp)
@@ -411,16 +567,26 @@ def main() -> None:
             if z["s2_flops"]:
                 record["zinc"]["stage2_mfu"] = round(
                     z["s2_flops"] / z["t2"] / peak, 4)
+        _bw_fields(record["zinc"], "stage1", z["s1_bytes"], STEPS, z["t1"])
+        _bw_fields(record["zinc"], "stage2", z["s2_bytes"], STEPS, z["t2"])
     except Exception as e:
         record["zinc_error"] = f"{type(e).__name__}: {e}"
 
     # units-bug guard (VERDICT r2 weak #8: a cost-analysis multiplier once
     # understated MFU by exactly 1000x): every *_mfu field must be a
     # physical fraction.  Drop-and-flag rather than ship an absurd number.
-    for holder in (record, record.get("zinc") or {}):
+    for holder in (record, record.get("zinc") or {},
+                   record.get("grid_cc") or {}):
         for k in [k for k in holder if k.endswith("_mfu")]:
             v = holder[k]
             if v is not None and not (1e-4 <= v <= 1.0):
+                holder[f"{k}_INSANE"] = v
+                holder[k] = None
+        # bandwidth fractions are physical too: >1.3x peak means the byte
+        # model (or the peak constant) is wrong — flag, don't ship
+        for k in [k for k in holder if k.endswith("_hbm_frac")]:
+            v = holder[k]
+            if v is not None and not (1e-4 <= v <= 1.3):
                 holder[f"{k}_INSANE"] = v
                 holder[k] = None
 
