@@ -150,6 +150,16 @@ class Sampler:
             return configt, defs, params
         # fall back to a reference torch checkpoint (.pth)
         pth = os.path.join(folder, "checkpoints", str(cfg.data.data), f"{name}.pth")
+        if not os.path.exists(pth):
+            # parity-oracle fallback: resolve shipped reference checkpoints
+            # from CCSD_REF_CHECKPOINTS (default the read-only reference
+            # tree) instead of requiring per-workdir symlinks (ADVICE r4:
+            # absolute symlinks break any checkout without /root/reference)
+            ref_root = os.environ.get("CCSD_REF_CHECKPOINTS",
+                                      "/root/reference/checkpoints")
+            cand = os.path.join(ref_root, str(cfg.data.data), f"{name}.pth")
+            if os.path.exists(cand):
+                pth = cand
         if os.path.exists(pth):
             ckpt = load_torch_reference_ckpt(pth, is_cc=self.is_cc)
             names = ["x", "adj", "rank2"] if self.is_cc else ["x", "adj"]
