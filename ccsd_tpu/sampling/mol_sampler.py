@@ -100,11 +100,9 @@ class MolSampler(Sampler):
         sdes = {n: load_sde(configt.sde[n]) for n in params}
         # same selective-precision knob as the generic Sampler; default
         # bf16 only on clearance-listed datasets (sampler.BF16_SCORE_CLEARED)
-        from ccsd_tpu.sampling.sampler import BF16_SCORE_CLEARED
+        from ccsd_tpu.sampling.sampler import score_dtype_default
 
-        sd_default = ("bf16" if self.is_cc
-                      and str(configt.data.data) in BF16_SCORE_CLEARED
-                      else "f32")
+        sd_default = score_dtype_default(self.is_cc, configt.data.data)
         sd_name = str(cfg.sample.get("score_dtype", sd_default)).lower()
         score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:

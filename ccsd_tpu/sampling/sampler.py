@@ -105,6 +105,11 @@ BF16_SCORE_CLEARED = {
 }
 
 
+def score_dtype_default(is_cc: bool, dataset) -> str:
+    """Per-config default for sample.score_dtype (see BF16_SCORE_CLEARED)."""
+    return "bf16" if is_cc and str(dataset) in BF16_SCORE_CLEARED else "f32"
+
+
 def worker_kwargs_from_config(data_cfg) -> Dict[str, Any]:
     """CC-eval worker kwargs from a config's data section.
 
@@ -267,9 +272,7 @@ class Sampler:
         # (BF16_SCORE_CLEARED below; round-4 verdict weak #2 — the round-4
         # default was flipped for all CC sampling off a single-dataset
         # bisect); opt in/out per run with sample.score_dtype.
-        sd_default = ("bf16" if self.is_cc
-                      and str(configt.data.data) in BF16_SCORE_CLEARED
-                      else "f32")
+        sd_default = score_dtype_default(self.is_cc, configt.data.data)
         sd_name = str(cfg.sample.get("score_dtype", sd_default)).lower()
         score_dtype = jnp.bfloat16 if sd_name in ("bf16", "bfloat16") else None
         if self.is_cc:

@@ -82,6 +82,14 @@ class TwoStageSampler:
         else:
             batch_size = int(dc.batch_size)
             n_rounds = max(1, math.ceil(len(test_objs) / batch_size))
+            # sample.max_samples: reduced-count cap, same semantics as the
+            # generic Sampler (rows so labeled in BASELINE.md)
+            max_samples = cfg.sample.get("max_samples")
+            if max_samples:
+                n_rounds = min(
+                    n_rounds,
+                    max(1, math.ceil(int(max_samples) / batch_size)),
+                )
 
         sdes = {n: load_sde(configt.sde[n]) for n in ("x", "adj", "rank2")}
         sm = cfg.sampler

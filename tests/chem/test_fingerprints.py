@@ -135,3 +135,36 @@ def test_get_all_metrics_includes_snn_frag_scaf():
     for k in ("SNN/Test", "Frag/Test", "Scaf/Test"):
         assert m[k] is not None and 0.0 <= m[k] <= 1.0
     assert m["validity"] == pytest.approx(0.75)
+
+
+def test_internal_diversity_moses_aggregation():
+    """IntDiv2 takes the 1/p root PER MOLECULE before the outer mean
+    (MOSES average_agg_tanimoto, fixes/utils.py:122-165) — NOT one global
+    root (ADVICE r4 medium: the global-root variant is systematically
+    lower for p=2 by Jensen)."""
+    from ccsd_tpu.chem.fingerprints import internal_diversity
+
+    mols = [_mol(s) for s in ("c1ccccc1", "Cc1ccccc1", "CCO", "CC(=O)O",
+                              "CCN", "CCCCCC")]
+    fps = np.stack([morgan_fingerprint(m) for m in mols]).astype(np.float64)
+    inter = fps @ fps.T
+    union = fps.sum(1)[:, None] + fps.sum(1)[None, :] - inter
+    sim = np.where(union > 0, inter / np.maximum(union, 1e-9), 1.0)
+    for p in (1, 2):
+        expected = 1.0 - ((sim ** p).mean(axis=1) ** (1.0 / p)).mean()
+        got = internal_diversity(mols, p=p)
+        assert got == pytest.approx(expected, abs=1e-9), p
+    # regression vs the pre-fix global-root formula at p=2
+    global_root = 1.0 - (sim ** 2).mean() ** 0.5
+    assert internal_diversity(mols, p=2) != pytest.approx(global_root,
+                                                          abs=1e-12)
+
+
+def test_tanimoto_empty_pair_is_one():
+    """union == 0 pairs map to similarity 1, matching MOSES's
+    jac[np.isnan(jac)] = 1 convention."""
+    z = np.zeros((1, 16), dtype=bool)
+    a = np.zeros((1, 16), dtype=bool)
+    a[0, 3] = True
+    assert tanimoto_matrix(z, z)[0, 0] == 1.0
+    assert tanimoto_matrix(z, a)[0, 0] == 0.0
