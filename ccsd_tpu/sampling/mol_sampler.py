@@ -188,13 +188,24 @@ class MolSampler(Sampler):
             from ccsd_tpu.data.loader import load_dataset
             from ccsd_tpu.eval.mmd import compute_nspdk_mmd
 
-            test_nx = load_dataset(
-                os.path.join(cfg.get("folder", "./"), "data"),
-                f"{dataset.lower()}_test_nx",
-            )
-            metrics["nspdk_mmd"] = compute_nspdk_mmd(
-                test_nx, mols_to_nx(mols), metric="nspdk"
-            )
+            nx_path = os.path.join(cfg.get("folder", "./"), "data",
+                                   f"{dataset.lower()}_test_nx.pkl")
+            if os.path.exists(nx_path):
+                test_nx = load_dataset(
+                    os.path.join(cfg.get("folder", "./"), "data"),
+                    f"{dataset.lower()}_test_nx",
+                )
+                metrics["nspdk_mmd"] = compute_nspdk_mmd(
+                    test_nx, mols_to_nx(mols), metric="nspdk"
+                )
+            else:
+                # missing aux pickle degrades to None + a log line (the
+                # NSPDK test set is produced by preprocess_for_nspdk)
+                self.logger.log(
+                    f"nspdk_mmd skipped: {nx_path} not found "
+                    f"(run preprocess_for_nspdk)"
+                )
+                metrics["nspdk_mmd"] = None
 
         # Lifted-CC evaluation of the generated molecules: both test and
         # generated sets become CCs with rings as rank-2 cells, then CC-MMD

@@ -204,12 +204,21 @@ class TwoStageSampler:
                 from ccsd_tpu.data.loader import load_dataset
                 from ccsd_tpu.eval.mmd import compute_nspdk_mmd
 
-                test_nx = load_dataset(
-                    os.path.join(cfg.get("folder", "./"), "data"),
-                    f"{dataset.lower()}_test_nx",
-                )
-                results["mol_metrics"]["nspdk_mmd"] = compute_nspdk_mmd(
-                    test_nx, mols_to_nx(mols), metric="nspdk")
+                nx_path = os.path.join(cfg.get("folder", "./"), "data",
+                                       f"{dataset.lower()}_test_nx.pkl")
+                if os.path.exists(nx_path):
+                    test_nx = load_dataset(
+                        os.path.join(cfg.get("folder", "./"), "data"),
+                        f"{dataset.lower()}_test_nx",
+                    )
+                    results["mol_metrics"]["nspdk_mmd"] = compute_nspdk_mmd(
+                        test_nx, mols_to_nx(mols), metric="nspdk")
+                else:
+                    self.logger.log(
+                        f"nspdk_mmd skipped: {nx_path} not found "
+                        f"(run preprocess_for_nspdk)"
+                    )
+                    results["mol_metrics"]["nspdk_mmd"] = None
             out_dir = os.path.join(cfg.get("folder", "./"), "samples",
                                    dataset)
             os.makedirs(out_dir, exist_ok=True)
