@@ -105,26 +105,40 @@ def _compiled_flops(fn, *args):
     import jax
 
     try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca["flops"])
+        if id(fn) not in _COST_CACHE:
+            ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            _COST_CACHE[id(fn)] = ca
+            _COST_KEEPALIVE.append(fn)
+        return float(_COST_CACHE[id(fn)]["flops"])
     except Exception:
         return None
+
+
+_COST_CACHE = {}
+# keep analyzed fns alive so a gc'd closure's id can't be reused by a
+# later leg's different fn (id() is only unique among live objects)
+_COST_KEEPALIVE = []
 
 
 def _compiled_bytes(fn, *args):
     """XLA cost-analysis 'bytes accessed' of one call — the compiler's own
     post-fusion estimate of HBM traffic (operands + outputs of every fused
     computation).  Same scan caveat as _compiled_flops: analyze ONE model
-    eval, never the scanned sampler."""
+    eval, never the scanned sampler.  Shares one compile with
+    _compiled_flops via _COST_CACHE (keyed on the score-fn object — at
+    grid shapes each standalone compile is minutes over the tunnel)."""
     import jax
 
     try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca["bytes accessed"])
+        if id(fn) not in _COST_CACHE:
+            ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            _COST_CACHE[id(fn)] = ca
+            _COST_KEEPALIVE.append(fn)
+        return float(_COST_CACHE[id(fn)]["bytes accessed"])
     except Exception:
         return None
 
