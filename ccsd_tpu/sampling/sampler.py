@@ -180,6 +180,28 @@ class Sampler:
             return configt, defs, params
         raise FileNotFoundError(f"No checkpoint found at {path} or {pth}")
 
+    def _cc_eval_tractable(self, cfg) -> bool:
+        """Lifted-CC eval gate: the dense eval incidence is
+        (C(N,2), sum_k C(N,k)) per complex — intractable for full-size
+        graph configs (gdss_grid: N=361 -> ~7e6 cells, TiB)."""
+        from ccsd_tpu.ops.cells import get_spec
+
+        d_min = int(cfg.data.get("d_min", 3))
+        d_max = int(cfg.data.get("d_max", 3))
+        num_cells = get_spec(
+            int(cfg.data.max_node_num), d_min, d_max
+        ).num_cells
+        budget = int(cfg.sample.get("cc_eval_max_cells", 200_000))
+        if num_cells > budget:
+            self.logger.log(
+                f"lifted-CC eval skipped: {num_cells} candidate cells at "
+                f"N={cfg.data.max_node_num} exceeds cc_eval_max_cells="
+                f"{budget} (the dense eval incidence would not fit in "
+                f"memory for any implementation)"
+            )
+            return False
+        return True
+
     # ------------------------------------------------------------ sampling --
 
     def sample(self) -> Dict[str, Any]:
@@ -378,10 +400,14 @@ class Sampler:
                     test_objs, results["ccs"], worker_kwargs,
                     cc_nb_eval=cfg.sample.get("cc_nb_eval", 1000),
                 )
-            elif cfg.data.get("lifting_procedure"):
+            elif cfg.data.get("lifting_procedure") and self._cc_eval_tractable(cfg):
                 # lift test + generated graphs to CCs and CC-eval them —
                 # the reference does this for EVERY graph sampler run, with
-                # the lift read from the SAMPLE config (sampler.py:259-290)
+                # the lift read from the SAMPLE config (sampler.py:259-290).
+                # Gated on sample.cc_eval_max_cells: at gdss_grid's N=361
+                # the eval incidence is C(361,2) x ~7e6 cells = TiB — the
+                # reference's own eval path OOMs identically there, so the
+                # honest behavior is a logged skip, not a crash.
                 from ccsd_tpu.data.cc_codec import convert_graphs_to_CCs
                 from ccsd_tpu.eval.cc_stats import eval_CC_list
 

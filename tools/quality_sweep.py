@@ -44,7 +44,8 @@ SWEEP = [
          subdir="ENZYMES_small", is_cc=False),
     # full-size graph configs (N=125 / N=361): plain dense-graph sampling,
     # config embedded in the checkpoint (ENZYMES) or grid.yaml
-    dict(row="gdss_enzymes", config=None, subdir="ENZYMES", is_cc=False),
+    dict(row="gdss_enzymes", config=None, subdir="ENZYMES", is_cc=False,
+         donor="enzymes_small"),
     dict(row="gdss_grid", config="grid", subdir="grid", is_cc=False),
     dict(row="ccsd_community_small_CC", config="community_small_CC",
          subdir="community_small_CC", is_cc=True),
@@ -107,6 +108,15 @@ def _cfg_for(entry, args):
         ck = load_torch_reference_ckpt(pth, is_cc=entry["is_cc"])
         cfg = AttrDict(dict(ck["model_config"]))
         cfg.is_cc = entry["is_cc"]
+        # GDSS-era embedded configs lack the CC-era data fields (node/edge
+        # label ranges, d_min/d_max for the lifted-CC eval) — fill missing
+        # keys from a same-family donor YAML
+        if entry.get("donor"):
+            donor = AttrDict(yaml.safe_load(open(os.path.join(
+                args.ref_config_dir, f"{entry['donor']}.yaml"))))
+            for k, v in donor.data.items():
+                if k not in cfg.data:
+                    cfg.data[k] = v
     cfg.folder = args.folder
     cfg.data.dir = os.path.join(args.folder, "data")
     cfg.ckpt = entry["row"]
