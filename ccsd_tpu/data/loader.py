@@ -58,8 +58,21 @@ def _adapt_cc(obj) -> CombinatorialComplex:
 
 
 def load_dataset(data_dir: str = "data", file_name: str = ""):
-    """Load a pickled dataset (graphs, or CCs possibly pickled by TopoNetX)."""
+    """Load a pickled dataset (graphs, or CCs possibly pickled by TopoNetX).
+
+    When the workdir copy is absent, falls back to $CCSD_REF_DATA (default
+    the read-only reference data tree) — same contract as the checkpoint
+    fallback in sampling.sampler, so bare clones run against any reference
+    checkout without symlinks.
+    """
     path = os.path.join(data_dir, file_name) + ".pkl"
+    if not os.path.exists(path):
+        ref = os.path.join(
+            os.environ.get("CCSD_REF_DATA", "/root/reference/data"),
+            file_name + ".pkl",
+        )
+        if os.path.exists(ref):
+            path = ref
     with open(path, "rb") as f:
         data = f.read()
     obj_list = _TopoNetXUnpickler(io.BytesIO(data)).load()

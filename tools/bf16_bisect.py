@@ -35,6 +35,9 @@ def main():
     p.add_argument("--ref-config-dir", default="/root/reference/config")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 7])
     p.add_argument("--dtypes", nargs="+", default=["f32", "bf16"])
+    p.add_argument("--rng", nargs="+", default=["threefry"],
+                   help="sample.rng axis (threefry / rbg) — clears the "
+                        "round-3 parked bf16+rbg composition")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--divide-batch", type=int, default=None)
     args = p.parse_args()
@@ -46,6 +49,7 @@ def main():
         os.path.join(args.ref_config_dir, f"{args.config}.yaml")))
     rows = []
     for sd in args.dtypes:
+      for rng in args.rng:
         for seed in args.seeds:
             cfg = AttrDict(json.loads(json.dumps(raw)))
             cfg.folder = args.folder
@@ -53,6 +57,7 @@ def main():
             cfg.ckpt = args.ckpt
             cfg.config_name = args.config
             cfg.sample.score_dtype = sd
+            cfg.sample.rng = rng
             cfg.sample.seed = seed
             if args.max_samples:
                 cfg.sample.max_samples = args.max_samples
@@ -62,7 +67,7 @@ def main():
             out = get_sampler_from_config(cfg, log=False).sample()
             rec = {
                 "config": args.config, "ckpt": args.ckpt,
-                "score_dtype": sd, "seed": seed,
+                "score_dtype": sd, "rng": rng, "seed": seed,
                 "wall_s": round(time.perf_counter() - t0, 1),
                 "mmd": out.get("mmd"), "cc_mmd": out.get("cc_mmd"),
             }
