@@ -102,6 +102,9 @@ def load_sampling_fn(config_train, config_module, config_sample, is_cc: bool,
 # measurement).
 BF16_SCORE_CLEARED = {
     "community_small_CC",  # 3-seed bisect, round 4
+    "ego_small_CC",        # 2-seed bisect, round 5: bf16 == f32 to 3 decimals
+    # NOT cleared (measured collapses, BASELINE.md round-5 table):
+    # enzymes_small_CC (S4 path degenerates), grid_small_CC (all MMDs 5-20x)
 }
 
 

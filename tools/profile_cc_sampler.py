@@ -66,19 +66,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--score-dtype", type=str, default=None)
+    ap.add_argument("--rng", type=str, default="threefry2x32",
+                    help="PRNG impl for the sampling key (threefry2x32/rbg)")
     ap.add_argument("--time-only", action="store_true",
                     help="just time steps/s (no xplane profile)")
     args = ap.parse_args()
     jitted = build(args.steps, score_dtype=args.score_dtype)
+    mk_key = lambda s: jax.random.key(s, impl=args.rng)
     if args.time_only:
         import time as _t
 
         flags = jnp.ones((B, N))
-        jitted(flags, jax.random.PRNGKey(2)).adj.block_until_ready()
+        jitted(flags, mk_key(2)).adj.block_until_ready()
         best = float("inf")
         for i in range(3):
             t0 = _t.perf_counter()
-            jitted(flags, jax.random.PRNGKey(3 + i)).adj.block_until_ready()
+            jitted(flags, mk_key(3 + i)).adj.block_until_ready()
             best = min(best, _t.perf_counter() - t0)
         print(f"steps/s: {args.steps/best:.2f}  us/step: "
               f"{best/args.steps*1e6:.0f}")
