@@ -127,6 +127,53 @@ def test_tracker_noop():
     t.finish()
 
 
+def test_tracker_live_path_with_stub_backend(monkeypatch):
+    """Exercise the ACTIVE wandb path with an injected stub module.
+
+    wandb is absent in this environment, so the live branch (init kwargs,
+    log forwarding, finish) is otherwise never executed — same
+    fake-backend-at-API-level approach the reference's own suite uses for
+    multi-GPU (tests/utils/test_loader.py:38-52).  Parity target:
+    reference main.py:63-74 (init fields) + trainer.py:247-256 (log)."""
+    import sys
+    import types
+
+    from ccsd_tpu.utils.config import AttrDict
+
+    calls = {}
+
+    class _Run:
+        def log(self, data, step=None):
+            calls.setdefault("log", []).append((dict(data), step))
+
+        def finish(self):
+            calls["finished"] = True
+
+    stub = types.ModuleType("wandb")
+
+    def _init(**kw):
+        calls["init"] = kw
+        return _Run()
+
+    stub.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from ccsd_tpu.utils.tracking import Tracker
+
+    gc = AttrDict({"use_wandb": True, "project_name": "CCSD_TPU",
+                   "entity": "team"})
+    t = Tracker(gc, run_name="exp-1", config={"lr": 0.01})
+    assert t.active
+    assert calls["init"] == {"project": "CCSD_TPU", "entity": "team",
+                             "name": "exp-1", "config": {"lr": 0.01}}
+    t.log({"loss_x": 1.5}, step=3)
+    assert calls["log"] == [({"loss_x": 1.5}, 3)]
+    t.finish()
+    assert calls.get("finished") and not t.active
+    t.log({"after": 1})  # inert after finish
+    assert len(calls["log"]) == 1
+
+
 def test_run_id_format():
     from ccsd_tpu.utils.logger import run_id
 
