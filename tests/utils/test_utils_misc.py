@@ -30,6 +30,33 @@ def test_all_configs_parse_and_have_schema():
             assert "rank2" in cfg.sde, name
 
 
+def test_two_stage_configs_select_two_stage_classes():
+    """The three *_two_stage configs dispatch to TwoStageTrainer/Sampler
+    (factory-level check, no dataset load — the expensive end-to-end path
+    is exercised in tests/training/test_two_stage_pipeline.py and the
+    BASELINE runs)."""
+    import yaml
+
+    from ccsd_tpu.utils.config import AttrDict
+
+    cfg_dir = os.path.join(REPO, "config")
+    names = [f[:-5] for f in os.listdir(cfg_dir)
+             if f.endswith("_two_stage.yaml")]
+    assert sorted(names) == [
+        "community_small_CC_two_stage",
+        "grid_small_CC_two_stage",
+        "qm9_CC_two_stage",
+    ]
+    for name in names:
+        with open(os.path.join(cfg_dir, f"{name}.yaml")) as f:
+            cfg = AttrDict(yaml.safe_load(f))
+        assert cfg.is_cc and cfg.train.two_stage and cfg.sample.two_stage, name
+        # the adjacency model must be a GRAPH model (TwoStageTrainer's
+        # contract); the F model diffuses the dynamic universe
+        assert "CC" not in cfg.model.adj and cfg.model.rank2 == "ScoreNetworkF"
+        assert cfg.data.lifting_procedure in ("cycles", "path_based"), name
+
+
 def test_get_config_injects_seed(tmp_path):
     import yaml
 
